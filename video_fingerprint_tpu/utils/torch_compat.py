@@ -1,0 +1,167 @@
+"""PyTorch checkpoint interop.
+
+Converts a reference `model_state_dict` (train.py:542 / fingerprint.py:70 key
+layout) into this framework's flax variables ({'params', 'batch_stats'}), so
+reference-trained `.pth` checkpoints can be served by the TPU scanner and the
+>=0.999 cosine-agreement gate (BASELINE.md north star) can be tested directly.
+
+All transforms are pure layout changes:
+  conv2d  torch (O,I,kh,kw)    -> flax (kh,kw,I,O)
+  conv3d  torch (O,I,kd,kh,kw) -> flax (kd,kh,kw,I,O)
+  conv1d  torch (O,I/g,k)      -> flax (k,I/g,O)
+  linear  torch (O,I)          -> flax (I,O)
+  conv1d k=1 used as pointwise -> linear (squeeze kernel dim)
+  MHA in_proj_weight (3C,C)    -> (C,3C); row blocks [q;k;v] become column blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _t(w):  # linear
+    return np.ascontiguousarray(w.T)
+
+
+def _conv1d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _conv2d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv3d(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _pointwise(w):  # conv1d k=1 -> dense
+    return np.ascontiguousarray(w[:, :, 0].T)
+
+
+def _set(tree: Dict, path: str, value: np.ndarray):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = np.asarray(value)
+
+
+def _linear(params, sd, torch_key, our_path):
+    _set(params, f"{our_path}/dense/kernel", _t(sd[f"{torch_key}.weight"]))
+    _set(params, f"{our_path}/dense/bias", sd[f"{torch_key}.bias"])
+
+
+def _bn(params, stats, sd, torch_key, our_path):
+    _set(params, f"{our_path}/scale", sd[f"{torch_key}.weight"])
+    _set(params, f"{our_path}/bias", sd[f"{torch_key}.bias"])
+    _set(stats, f"{our_path}/mean", sd[f"{torch_key}.running_mean"])
+    _set(stats, f"{our_path}/var", sd[f"{torch_key}.running_var"])
+
+
+def attention_state_dict_to_variables(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Reference VideoFingerprintAttention state_dict -> flax variables."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    # SpatialEncoder: Sequential indices 0/3/6/9 convs, 1/4/7/10 BNs, 14 Linear
+    # (reference model.py:96-118).
+    for i, (conv_idx, bn_idx) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        _set(params, f"spatial_encoder/conv{i}/conv/kernel",
+             _conv2d(sd[f"spatial_encoder.encoder.{conv_idx}.weight"]))
+        _set(params, f"spatial_encoder/conv{i}/conv/bias",
+             sd[f"spatial_encoder.encoder.{conv_idx}.bias"])
+        _bn(params, stats, sd, f"spatial_encoder.encoder.{bn_idx}",
+            f"spatial_encoder/bn{i}")
+    _linear(params, sd, "spatial_encoder.encoder.14", "spatial_encoder/proj")
+
+    _linear(params, sd, "temporal_projection", "temporal_projection")
+
+    # 2x TemporalConvBlock with 4 branches each (model.py:201-205).
+    for b in range(2):
+        for j in range(4):
+            tk = f"temporal_conv_blocks.{b}.convs.{j}"
+            op = f"temporal_conv_blocks_{b}"
+            _set(params, f"{op}/conv{j}/conv/kernel", _conv1d(sd[f"{tk}.0.weight"]))
+            _set(params, f"{op}/conv{j}/conv/bias", sd[f"{tk}.0.bias"])
+            _bn(params, stats, sd, f"{tk}.1", f"{op}/bn{j}")
+
+    # Attention blocks (model.py:124-152).
+    n_blocks = len({k.split(".")[1] for k in sd if k.startswith("attention_blocks.")})
+    for i in range(n_blocks):
+        tk = f"attention_blocks.{i}"
+        op = f"attention_blocks_{i}"
+        for norm in ("norm1", "norm2"):
+            _set(params, f"{op}/{norm}/scale", sd[f"{tk}.{norm}.weight"])
+            _set(params, f"{op}/{norm}/bias", sd[f"{tk}.{norm}.bias"])
+        _set(params, f"{op}/attn/in_proj_kernel", _t(sd[f"{tk}.attn.in_proj_weight"]))
+        _set(params, f"{op}/attn/in_proj_bias", sd[f"{tk}.attn.in_proj_bias"])
+        _linear(params, sd, f"{tk}.attn.out_proj", f"{op}/attn/out_proj")
+        # 1x1 Conv1d MLP -> pointwise Dense.
+        _set(params, f"{op}/conv1/dense/kernel", _pointwise(sd[f"{tk}.conv1.weight"]))
+        _set(params, f"{op}/conv1/dense/bias", sd[f"{tk}.conv1.bias"])
+        _set(params, f"{op}/conv2/dense/kernel", _pointwise(sd[f"{tk}.conv2.weight"]))
+        _set(params, f"{op}/conv2/dense/bias", sd[f"{tk}.conv2.bias"])
+
+    # temporal_pool: Sequential(Conv1d k=1, ReLU) (model.py:215-217).
+    _set(params, "temporal_pool/dense/kernel", _pointwise(sd["temporal_pool.0.weight"]))
+    _set(params, "temporal_pool/dense/bias", sd["temporal_pool.0.bias"])
+
+    _linear(params, sd, "final_projection.0", "final_projection_1")
+    _linear(params, sd, "final_projection.3", "final_projection_2")
+
+    _set(params, "temperature", sd["temperature"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def cnn3d_state_dict_to_variables(sd: Mapping[str, np.ndarray]) -> Dict:
+    """Reference VideoFingerprint3D state_dict -> flax variables."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i in range(4):  # Conv3DBlocks at encoder indices 0..3 (model.py:414-436).
+        tk = f"encoder.{i}"
+        op = f"block{i}"
+        _set(params, f"{op}/conv/conv/kernel", _conv3d(sd[f"{tk}.conv.weight"]))
+        _set(params, f"{op}/conv/conv/bias", sd[f"{tk}.conv.bias"])
+        _bn(params, stats, sd, f"{tk}.bn", f"{op}/bn")
+
+    _set(params, "temporal_conv/conv/kernel", _conv1d(sd["temporal_conv.weight"]))
+    _set(params, "temporal_conv/conv/bias", sd["temporal_conv.bias"])
+    _set(params, "temporal_attention/conv/kernel", _conv1d(sd["temporal_attention.weight"]))
+    _set(params, "temporal_attention/conv/bias", sd["temporal_attention.bias"])
+
+    _linear(params, sd, "projector.0", "projector_1")
+    _linear(params, sd, "projector.3", "projector_2")
+
+    _set(params, "temperature", sd["temperature"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def state_dict_to_variables(sd: Mapping[str, np.ndarray], model_type: str) -> Dict:
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if model_type == "attention":
+        return attention_state_dict_to_variables(sd)
+    if model_type in ("3d", "cnn3d"):
+        return cnn3d_state_dict_to_variables(sd)
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference `.pth` checkpoint -> (variables, config dict).
+
+    Requires torch at call time (gated import: torch is only needed for
+    interop, never on the TPU compute path).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    config = ckpt.get("config", {})
+    sd = {k: v.detach().cpu().numpy() for k, v in ckpt["model_state_dict"].items()
+          if k != "pos_encoding.pe"}
+    model_type = config.get("model_type", "attention")
+    return state_dict_to_variables(sd, model_type), config
