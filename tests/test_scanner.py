@@ -1,0 +1,127 @@
+"""End-to-end scan: synthetic corpus -> fingerprints -> duplicates -> JSON.
+
+Covers the minimum end-to-end slice (SURVEY.md §7 step 3): decode ->
+preprocess -> jitted model -> embedding -> dedup -> report, plus the CLI/JSON
+contract (C26, C28-C29) and the batched-vs-sequential equivalence that the
+masked bucketed pipeline must guarantee.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    d = tmp_path_factory.mktemp("videos")
+    paths = make_corpus(d, num_unique=4, num_frames=40, duplicates=2)
+    return d, paths
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    """A random-init attention checkpoint in our format."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+
+    model = create_model("attention")
+    variables = model.init(jax.random.PRNGKey(42), jnp.zeros((1, 4, 64, 64, 3)))
+    config = {
+        "model_type": "attention",
+        "frame_size": 64,
+        "max_frames": 500,
+        "embedding_dim": 256,
+        "spatial_dim": 128,
+        "temporal_dim": 256,
+        "num_attention_blocks": 4,
+    }
+    path = tmp_path_factory.mktemp("ckpt") / "last.ckpt"
+    save_checkpoint(path, variables["params"], variables["batch_stats"], config)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def scanner(ckpt_path):
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    return FingerprintScanner(ckpt_path, device="cpu", batch_size=4,
+                              buckets=(32, 64))
+
+
+def test_scan_finds_exact_duplicates(scanner, corpus, tmp_path):
+    d, paths = corpus
+    fingerprints = scanner.scan_directory(d, num_workers=2)
+    assert len(fingerprints) == 6
+
+    for meta in fingerprints.values():
+        assert meta["embedding"].shape == (256,)
+        assert meta["embedding_norm"] == pytest.approx(1.0, abs=1e-3)
+        assert set(meta) == {
+            "embedding", "path", "name", "size", "file_hash", "embedding_norm",
+        }
+
+    # Byte-identical copies must produce (bitwise-)identical embeddings.
+    # (A random-init model cannot separate *distinct* videos — grouping
+    # semantics are unit-tested with crafted embeddings in test_dedup.py.)
+    by_name = {meta["name"]: meta for meta in fingerprints.values()}
+    for i in range(2):
+        a = by_name[f"video_{i}.mp4"]["embedding"]
+        b = by_name[f"video_{i}_copy.mp4"]["embedding"]
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        assert by_name[f"video_{i}.mp4"]["file_hash"] == by_name[f"video_{i}_copy.mp4"]["file_hash"]
+
+    groups = scanner.find_duplicates(fingerprints, similarity_threshold=0.999999)
+
+    # JSON contract
+    from video_fingerprint_tpu.inference.report import save_results
+
+    out = tmp_path / "results.json"
+    save_results(fingerprints, groups, out, scanner.config, scanner.model_type)
+    results = json.loads(out.read_text())
+    assert set(results) == {"metadata", "fingerprints", "duplicate_groups"}
+    md = results["metadata"]
+    assert set(md) == {
+        "scan_date", "total_videos", "duplicate_groups", "model_config", "model_type",
+    }
+    assert md["total_videos"] == 6
+    any_fp = next(iter(results["fingerprints"].values()))
+    assert isinstance(any_fp["embedding"], list) and len(any_fp["embedding"]) == 256
+    # embeddings inside groups are serialized too (reference would crash here)
+    assert isinstance(results["duplicate_groups"][0][0]["embedding"], list)
+
+
+def test_batched_equals_sequential(scanner, corpus):
+    """Bucketed masked batching must reproduce sequential batch=1 results."""
+    d, _ = corpus
+    seq = scanner.scan_directory(d, num_workers=1, batched=False)
+    bat = scanner.scan_directory(d, num_workers=2, batched=True)
+    assert set(seq) == set(bat)
+    for path in seq:
+        a, b = seq[path]["embedding"], bat[path]["embedding"]
+        cos = float(np.dot(a, b))
+        assert cos > 0.9999, (path, cos)
+
+
+def test_cli_smoke(ckpt_path, corpus, tmp_path, capsys):
+    d, _ = corpus
+    from video_fingerprint_tpu.cli.scan import main
+
+    out = tmp_path / "cli_results.json"
+    rc = main([
+        "--model", ckpt_path, "--scan", str(d), "--threshold", "0.99",
+        "--output", str(out), "--device", "cpu", "--workers", "2", "--batch", "4",
+    ])
+    assert rc == 0
+    assert out.exists()
+    results = json.loads(out.read_text())
+    assert results["metadata"]["total_videos"] == 6
+    captured = capsys.readouterr()
+    assert "DUPLICATE REPORT" in captured.out

@@ -1,0 +1,92 @@
+"""Scanner CLI — same flag surface as the reference (fingerprint.py:631-723).
+
+Differences: `--device` gains `tpu` (default; `cuda` is accepted as an alias
+for compatibility and maps to the accelerator), and `--batch` is actually used
+(the reference accepts it but never batches; fingerprint.py:18).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Video fingerprint scanner and duplicate detector (TPU)",
+    )
+    parser.add_argument("--model", type=str, required=True,
+                        help="Path to a trained checkpoint (.ckpt or reference .pth)")
+    parser.add_argument("--scan", type=str, required=True,
+                        help="Folder containing videos to scan")
+    parser.add_argument("--threshold", type=float, default=0.99,
+                        help="Similarity threshold for duplicates (0-1, default: 0.99)")
+    parser.add_argument("--output", type=str, help="JSON file to save the results")
+    parser.add_argument("--device", type=str, default="tpu",
+                        choices=["tpu", "cuda", "cpu"],
+                        help="Device to use (default: tpu; cuda is an alias)")
+    parser.add_argument("--extensions", type=str, nargs="+",
+                        default=[".mp4", ".avi", ".mov", ".mkv"],
+                        help="Video file extensions to scan")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="Number of decode workers")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="Device batch size for bucketed extraction")
+    parser.add_argument("--no_batched", action="store_true",
+                        help="Disable bucketed batching (sequential batch=1)")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.device == "cpu":
+        # Avoid initializing (and handshaking with) the TPU backend entirely.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from video_fingerprint_tpu.inference.report import (
+        print_duplicate_report,
+        save_results,
+    )
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    print("Starting video fingerprint scanner")
+    print("=" * 80)
+
+    scanner = FingerprintScanner(args.model, device=args.device, batch_size=args.batch)
+
+    video_dir = Path(args.scan)
+    if not video_dir.exists():
+        print(f"Error: Folder {video_dir} does not exist")
+        return 1
+
+    fingerprints = scanner.scan_directory(
+        video_dir,
+        extensions=args.extensions,
+        num_workers=args.workers,
+        batched=not args.no_batched,
+    )
+    if not fingerprints:
+        print("No videos could be analyzed")
+        return 1
+
+    duplicate_groups = scanner.find_duplicates(
+        fingerprints, similarity_threshold=args.threshold
+    )
+    print_duplicate_report(duplicate_groups)
+
+    if args.output:
+        save_results(
+            fingerprints, duplicate_groups, Path(args.output),
+            scanner.config, scanner.model_type,
+        )
+
+    print("\nScan complete!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,396 @@
+"""Fingerprint scanner: directory scan -> embeddings -> duplicate groups (L5).
+
+Reference parity target: `VideoFingerprintScanner` (fingerprint.py:15-628),
+with the TPU-native redesign the reference's own TODO asks for
+(fingerprint.py:18 "parallelize, can't batch because of variable frame
+lengths"):
+
+  - decode/preprocess runs in a host thread pool while the TPU computes;
+  - variable-length clips are length-bucketed, zero-padded and masked, and
+    forwarded in fixed-shape batches (one compiled program per bucket) — the
+    masked forward is bit-equivalent to the reference's unpadded batch=1 call
+    (tests/test_models.py::test_attention_mask_equals_unpadded);
+  - duplicate search runs on-device (ops/topk.py) instead of FAISS.
+
+Checkpoints: ours (.ckpt) or reference .pth (auto-converted). The model is
+rebuilt purely from the checkpoint-embedded config (fingerprint.py:51-72).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import queue
+import threading
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_fingerprint_tpu.data import decode, preprocess
+from video_fingerprint_tpu.models import create_model
+from video_fingerprint_tpu.training.checkpoint import load_any
+
+DEFAULT_EXTENSIONS = [".mp4", ".avi", ".mov", ".mkv", ".webm", ".flv"]
+SCAN_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class FingerprintScanner:
+    """Extract fingerprints and find duplicate videos."""
+
+    def __init__(
+        self,
+        model_path: str,
+        device: str = "tpu",
+        batch_size: int = 8,
+        buckets: Optional[Sequence[int]] = None,
+    ):
+        self.batch_size = batch_size
+        self.device = _pick_device(device)
+
+        print(f"Loading model from {model_path}...")
+        self.variables, self.config = load_any(model_path)
+        self.variables = jax.device_put(self.variables, self.device)
+
+        self.model_type = self.config.get("model_type", "attention")
+        self.frame_size = self.config.get("frame_size", 64)
+        self.max_frames = self.config.get("max_frames", 500)
+        self.clip_length = self.config.get("clip_length", 128)
+        self.frame_stride = self.config.get("frame_stride", 32)
+        self.embedding_dim = self.config.get("embedding_dim", 256)
+
+        self.model = create_model(
+            model_type=self.model_type,
+            spatial_dim=self.config.get("spatial_dim", 128),
+            temporal_dim=self.config.get("temporal_dim", 256),
+            embedding_dim=self.embedding_dim,
+            num_attention_blocks=self.config.get("num_attention_blocks", 4),
+            frame_stride=self.frame_stride,
+        )
+        self.buckets = tuple(
+            b for b in (buckets or SCAN_BUCKETS) if b < self.max_frames
+        ) + (self.max_frames,)
+
+        self._fwd = jax.jit(partial(self.model.apply))
+        self._fwd_masked = jax.jit(
+            lambda v, x, m: self.model.apply(v, x, mask=m)
+        )
+
+        print(f"Model loaded - Type: {self.model_type}, Device: {self.device.platform}")
+
+    # ------------------------------------------------------------------
+    # Single-video extraction (reference fingerprint.py:216-320)
+    # ------------------------------------------------------------------
+
+    def extract_fingerprint(
+        self, video_path: Path, num_segments: int = 3
+    ) -> Optional[np.ndarray]:
+        video_path = Path(video_path)
+        if self.model_type in ("3d", "cnn3d"):
+            return self._extract_3d(video_path)
+        return self._extract_attention(video_path, num_segments)
+
+    def _embed_clip(self, clip: np.ndarray) -> np.ndarray:
+        """(T, H, W, C) float32 -> (D,) embedding, single video."""
+        x = jax.device_put(jnp.asarray(clip)[None], self.device)
+        return np.asarray(self._fwd(self.variables, x))[0]
+
+    def _extract_attention(self, video_path: Path, num_segments: int = 3):
+        frames = decode.decode_subsampled(video_path, self.max_frames)
+        if len(frames) < 10:  # reference minimum (fingerprint.py:238-240)
+            print(f"Video too short: {video_path} ({len(frames)} frames)")
+            return None
+
+        if len(frames) <= self.max_frames:
+            clip = preprocess.preprocess_frames(frames, self.frame_size)
+            return self._embed_clip(clip)
+
+        # Evenly-spaced segments, averaged WITHOUT re-normalization — the
+        # reference's behaviour for the attention path (fingerprint.py:251-270).
+        segment_length = min(self.max_frames, len(frames) // num_segments)
+        embeddings = []
+        for i in range(num_segments):
+            start = (
+                i * (len(frames) - segment_length) // (num_segments - 1)
+                if num_segments > 1
+                else 0
+            )
+            seg = frames[start : start + segment_length]
+            clip = preprocess.preprocess_frames(seg, self.frame_size)
+            embeddings.append(self._embed_clip(clip))
+        return np.mean(np.stack(embeddings), axis=0)
+
+    def _extract_3d(self, video_path: Path):
+        info = decode.probe(video_path)
+        if not info or info.total_frames < 10:
+            return None
+        total = info.total_frames
+
+        def window_clip(start, n):
+            frames = decode.decode_clip(video_path, start, n)
+            frames = [
+                preprocess.square_center_crop_resize(f, self.frame_size)
+                for f in frames
+            ]
+            return preprocess.frames_to_clip(frames)
+
+        if total <= self.clip_length:
+            emb = self._embed_clip(window_clip(0, total))
+            return emb  # single window: model output already unit-norm
+
+        # Multi-window mean WITH re-normalization (fingerprint.py:293-318).
+        num_windows = min(5, max(3, total // (self.clip_length * 2)))
+        stride = (
+            (total - self.clip_length) // (num_windows - 1) if num_windows > 1 else 0
+        )
+        embs = [
+            self._embed_clip(window_clip(i * stride, self.clip_length))
+            for i in range(num_windows)
+        ]
+        mean = np.mean(np.stack(embs), axis=0)
+        return mean / np.linalg.norm(mean)
+
+    # ------------------------------------------------------------------
+    # Directory scan (reference fingerprint.py:322-448) — batched pipeline
+    # ------------------------------------------------------------------
+
+    def scan_directory(
+        self,
+        directory: Path,
+        extensions: Optional[List[str]] = None,
+        num_workers: int = 4,
+        batched: bool = True,
+    ) -> Dict[str, dict]:
+        directory = Path(directory)
+        extensions = extensions or DEFAULT_EXTENSIONS
+        video_paths: List[Path] = []
+        for ext in extensions:
+            video_paths.extend(directory.glob(f"**/*{ext}"))
+            video_paths.extend(directory.glob(f"**/*{ext.upper()}"))
+        video_paths = sorted(set(video_paths))
+        print(f"\n{len(video_paths)} videos found in {directory}")
+
+        start = time.time()
+        if batched and self.model_type == "attention":
+            fingerprints, failed = self._scan_batched(video_paths, num_workers)
+        else:
+            fingerprints, failed = self._scan_sequential(video_paths)
+        elapsed = time.time() - start
+        if video_paths:
+            print(
+                f"Processed {len(fingerprints)} videos in {elapsed:.1f}s "
+                f"({len(fingerprints) / max(elapsed, 1e-9):.2f} videos/s, {failed} failures)"
+            )
+        return fingerprints
+
+    def _metadata(self, video_path: Path, embedding: np.ndarray) -> dict:
+        return {
+            "embedding": embedding,
+            "path": str(video_path),
+            "name": video_path.name,
+            "size": video_path.stat().st_size,
+            "file_hash": compute_file_hash(video_path, max_bytes=1024 * 1024),
+            "embedding_norm": float(np.linalg.norm(embedding)),
+        }
+
+    def _scan_sequential(self, video_paths: List[Path]):
+        fingerprints: Dict[str, dict] = {}
+        failed = 0
+        for video_path in video_paths:
+            emb = self.extract_fingerprint(video_path)
+            if emb is None:
+                failed += 1
+                continue
+            fingerprints[str(video_path)] = self._metadata(video_path, emb)
+        return fingerprints, failed
+
+    def _scan_batched(self, video_paths: List[Path], num_workers: int):
+        """Decode in host threads; batch per length bucket on device.
+
+        Per-bucket fixed shapes (batch_size, bucket_T, H, W, C) mean at most
+        len(buckets) compiled programs; padding is masked so results equal
+        the reference's unpadded batch=1 forwards.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        work: "queue.Queue" = queue.Queue(maxsize=num_workers * 4)
+        done = object()
+
+        def producer():
+            def load(path):
+                try:
+                    frames = decode.decode_subsampled(path, self.max_frames)
+                    if len(frames) < 10:
+                        return (path, None)
+                    clip = preprocess.preprocess_frames(frames, self.frame_size)
+                    return (path, clip)
+                except Exception:
+                    return (path, None)
+
+            with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+                for item in pool.map(load, video_paths):
+                    work.put(item)
+            work.put(done)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        pending: Dict[int, list] = {b: [] for b in self.buckets}
+        fingerprints: Dict[str, dict] = {}
+        failed = 0
+
+        def flush(bucket: int):
+            items = pending[bucket]
+            if not items:
+                return
+            B = self.batch_size
+            clips = np.zeros((B, bucket, self.frame_size, self.frame_size, 3), np.float32)
+            masks = np.zeros((B, bucket), bool)
+            for i, (_, clip) in enumerate(items):
+                t = clip.shape[0]
+                clips[i, :t] = clip
+                masks[i, :t] = True
+            embs = np.asarray(
+                self._fwd_masked(
+                    self.variables,
+                    jax.device_put(jnp.asarray(clips), self.device),
+                    jax.device_put(jnp.asarray(masks), self.device),
+                )
+            )
+            for i, (path, _) in enumerate(items):
+                fingerprints[str(path)] = self._metadata(path, embs[i])
+            pending[bucket] = []
+
+        while True:
+            item = work.get()
+            if item is done:
+                break
+            path, clip = item
+            if clip is None:
+                failed += 1
+                continue
+            bucket = preprocess.bucket_for_length(clip.shape[0], self.buckets)
+            pending[bucket].append((path, clip))
+            if len(pending[bucket]) >= self.batch_size:
+                flush(bucket)
+        for bucket in self.buckets:
+            flush(bucket)
+        return fingerprints, failed
+
+    # ------------------------------------------------------------------
+    # Duplicate search (reference fingerprint.py:450-548) — on-TPU top-k
+    # ------------------------------------------------------------------
+
+    def find_duplicates(
+        self,
+        fingerprints: Dict[str, dict],
+        similarity_threshold: float = 0.95,
+        topk_threshold: int = 100,
+    ) -> List[List[dict]]:
+        if len(fingerprints) < 2:
+            return []
+
+        print(f"\nSearching for duplicates (threshold: {similarity_threshold})...")
+        paths = list(fingerprints.keys())
+        embeddings = np.stack(
+            [np.asarray(fingerprints[p]["embedding"], dtype=np.float32) for p in paths]
+        )
+
+        if len(embeddings) > topk_threshold:
+            groups = self._find_duplicates_topk(
+                embeddings, paths, fingerprints, similarity_threshold
+            )
+        else:
+            groups = self._find_duplicates_direct(
+                embeddings, paths, fingerprints, similarity_threshold
+            )
+
+        # exact-duplicate tagging via md5 (fingerprint.py:475-479)
+        for group in groups:
+            hashes = [item["file_hash"] for item in group]
+            for item in group:
+                item["exact_duplicate"] = hashes.count(item["file_hash"]) > 1
+        return groups
+
+    def _similarities_full(self, embeddings: np.ndarray) -> np.ndarray:
+        e = jnp.asarray(embeddings)
+        sims = jnp.dot(
+            e, e.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return np.asarray(sims)
+
+    def _find_duplicates_direct(self, embeddings, paths, fingerprints, threshold):
+        """All-pairs matrix + greedy grouping (fingerprint.py:482-513 semantics)."""
+        sims = self._similarities_full(embeddings)
+        n = len(embeddings)
+        processed = set()
+        groups = []
+        for i in range(n):
+            if i in processed:
+                continue
+            similar = np.where(sims[i] >= threshold)[0]
+            if len(similar) > 1:
+                group = []
+                for idx in similar:
+                    if idx not in processed:
+                        processed.add(int(idx))
+                        item = dict(fingerprints[paths[idx]])
+                        item["similarity"] = float(sims[i, idx])
+                        group.append(item)
+                if len(group) > 1:
+                    groups.append(group)
+        return groups
+
+    def _find_duplicates_topk(self, embeddings, paths, fingerprints, threshold):
+        """k-NN candidates from on-device top-k + the same greedy grouping the
+        reference applies to FAISS results (fingerprint.py:515-548)."""
+        from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
+
+        k = min(20, len(embeddings))
+        if len(jax.devices()) > 1 and len(embeddings) >= 8 * len(jax.devices()):
+            sims, idx = sharded_topk_cosine(jnp.asarray(embeddings), k)
+        else:
+            sims, idx = topk_cosine(jnp.asarray(embeddings), k)
+        sims, idx = np.asarray(sims), np.asarray(idx)
+
+        processed = set()
+        groups = []
+        for i in range(len(embeddings)):
+            if i in processed:
+                continue
+            group = []
+            for sim, j in zip(sims[i], idx[i]):
+                if sim >= threshold and int(j) not in processed:
+                    processed.add(int(j))
+                    item = dict(fingerprints[paths[int(j)]])
+                    item["similarity"] = float(sim)
+                    group.append(item)
+            if len(group) > 1:
+                groups.append(group)
+        return groups
+
+
+def _pick_device(device: str):
+    """Resolve a device string; 'cuda' is a compatibility alias for the
+    accelerator. Requests a specific backend so --device cpu works even when
+    the default platform is the TPU."""
+    want = {"cuda": "tpu"}.get(device, device)
+    try:
+        return jax.devices(want)[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
+
+def compute_file_hash(file_path: Path, max_bytes: Optional[int] = None) -> str:
+    """MD5 of the file (or its first `max_bytes`) — fingerprint.py:436-448."""
+    md5 = hashlib.md5()
+    with open(file_path, "rb") as f:
+        if max_bytes:
+            md5.update(f.read(max_bytes))
+        else:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                md5.update(chunk)
+    return md5.hexdigest()
