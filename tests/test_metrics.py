@@ -1,0 +1,101 @@
+"""Validation metrics vs sklearn/numpy oracles."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    n, d = 60, 16
+    ids = rng.integers(0, 12, size=n)
+    # correlate embeddings with ids so AUC is non-trivial
+    centers = rng.normal(size=(12, d))
+    e = centers[ids] + 0.8 * rng.normal(size=(n, d))
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    return e.astype(np.float32), ids.astype(np.int32)
+
+
+def test_auc_matches_sklearn(data):
+    from sklearn.metrics import roc_auc_score
+
+    from video_fingerprint_tpu.ops.metrics import discrimination_metrics
+
+    e, ids = data
+    m = discrimination_metrics(e, ids)
+
+    sims = e @ e.T
+    same = ids[:, None] == ids[None, :]
+    np.fill_diagonal(same, False)
+    diff = ~(ids[:, None] == ids[None, :])
+    np.fill_diagonal(diff, False)
+    intra = sims[same]
+    inter = sims[diff]
+    y = np.concatenate([np.ones(len(intra)), np.zeros(len(inter))])
+    s = np.concatenate([intra, inter])
+    expected = roc_auc_score(y, s)
+    assert float(m["auc_roc"]) == pytest.approx(expected, abs=2e-4)
+
+    assert float(m["intra_sim_mean"]) == pytest.approx(intra.mean(), abs=1e-4)
+    assert float(m["inter_sim_std"]) == pytest.approx(inter.std(), abs=1e-4)
+    assert float(m["separation_gap"]) == pytest.approx(
+        intra.mean() - inter.mean(), abs=1e-4
+    )
+
+
+def test_threshold_metrics_match_oracle(data):
+    from video_fingerprint_tpu.ops.metrics import discrimination_metrics
+
+    e, ids = data
+    m = discrimination_metrics(e, ids)
+    sims = e @ e.T
+    same = ids[:, None] == ids[None, :]
+    np.fill_diagonal(same, False)
+    diff = ~(ids[:, None] == ids[None, :])
+    np.fill_diagonal(diff, False)
+    intra, inter = sims[same], sims[diff]
+    for t in (0.7, 0.8):
+        tp = (intra >= t).sum()
+        fp = (inter >= t).sum()
+        fn = (intra < t).sum()
+        precision = tp / (tp + fp) if tp + fp else 0
+        recall = tp / (tp + fn) if tp + fn else 0
+        assert float(m[f"precision@{t:.2f}"]) == pytest.approx(precision, abs=1e-5)
+        assert float(m[f"recall@{t:.2f}"]) == pytest.approx(recall, abs=1e-5)
+
+
+def test_retrieval_matches_oracle(data):
+    from video_fingerprint_tpu.ops.metrics import retrieval_metrics
+
+    e, ids = data
+    m = retrieval_metrics(e, ids)
+
+    sims = e @ e.T
+    np.fill_diagonal(sims, -np.inf)
+    for k in (1, 5, 10):
+        hits = []
+        for i in range(len(e)):
+            topk = np.argsort(-sims[i])[:k]
+            hits.append(np.any(ids[topk] == ids[i]))
+        assert float(m[f"R@{k}"]) == pytest.approx(np.mean(hits), abs=1e-6)
+
+    # mAP oracle (reference algorithm, train.py:466-479)
+    aps = []
+    for i in range(len(e)):
+        order = np.argsort(-sims[i])
+        positives = ids[order] == ids[i]
+        # exclude self (at -inf, sorts last; also ids match so guard via count)
+        positives = positives & (order != i)
+        if positives.sum() > 0:
+            prec = np.cumsum(positives) / (np.arange(len(positives)) + 1)
+            aps.append((prec * positives).sum() / positives.sum())
+    assert float(m["mAP"]) == pytest.approx(np.mean(aps), abs=1e-4)
+
+
+def test_auc_degenerate_single_class():
+    from video_fingerprint_tpu.ops.metrics import discrimination_metrics
+
+    e = np.eye(4, dtype=np.float32)
+    ids = np.zeros(4, np.int32)  # all same video: no inter pairs
+    m = discrimination_metrics(e, ids)
+    assert float(m["auc_roc"]) == 0.5  # reference fallback (train.py:351-356)

@@ -1,0 +1,235 @@
+"""The pjit train/eval steps — loss + grads + metrics in ONE XLA program.
+
+TPU-first redesign of the reference hot loop (train.py:140-284):
+
+  - The reference forwards each random extract individually in a Python loop
+    (2B extra forward passes per step, model.py:323-341) and then runs two
+    MORE no-grad forwards for the accuracy metric (train.py:235-241). Here
+    extracts are a vectorized gather + per-frame mask, full1/full2 and
+    ex1/ex2 are batched into two (2B, T) forwards, and accuracy reuses the
+    loss-path embeddings — everything inside a single compiled step.
+  - Data parallelism is GSPMD: the caller jits this step with the batch
+    sharded over the 'data' mesh axis and params replicated; XLA inserts the
+    grad all-reduce over ICI, and BatchNorm batch statistics are global
+    automatically (sync-BN semantics, the closest match to the single-device
+    reference).
+
+Masking policy (SURVEY.md §7 hard parts): `mask_padding=True` (default)
+excludes zero-padded frames from attention/pooling — the *correct* behaviour.
+The reference lets padded frames attend and pool (collate pads with zeros,
+dataset.py:507-524; no mask in model.py:272). Set mask_padding=False to
+reproduce that exactly for same-bucket batches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from video_fingerprint_tpu.ops.losses import (
+    attention_contrastive_loss,
+    cnn3d_contrastive_loss,
+)
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array  # int32 scalar
+
+
+def init_train_state(model, tx, rng, example_batch_shape) -> TrainState:
+    """tx may be None when the optimizer is built afterwards (it needs the
+    param tree for the multi-LR labels); set opt_state via .replace then."""
+    video = jnp.zeros(example_batch_shape, jnp.float32)
+    variables = model.init(rng, video)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params) if tx is not None else None,
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def sample_extracts(
+    rng: Array, video: Array, extract_ratio: float
+) -> Tuple[Array, Array]:
+    """Vectorized version of the reference's per-sample extract loop
+    (model.py:325-341): one shared extract length per sample, independent
+    starts. Lengths/starts are sampled over the padded T exactly as the
+    reference does (it reads T from the padded batch, model.py:318).
+
+    Returns (extract (B,T,H,W,C) gathered from `start`, mask (B,T), idx (B,T)).
+    """
+    B, T = video.shape[0], video.shape[1]
+    k_len, k_start = jax.random.split(rng)
+    min_len = int(T * extract_ratio)
+    lengths = jax.random.randint(k_len, (B,), min_len, T + 1)
+    max_start = T - lengths  # >= 0
+    u = jax.random.uniform(k_start, (B,))
+    starts = jnp.floor(u * (max_start + 1)).astype(jnp.int32)
+
+    pos = jnp.arange(T)[None, :]  # (1, T)
+    idx = jnp.minimum(starts[:, None] + pos, T - 1)  # (B, T)
+    extract = jnp.take_along_axis(
+        video, idx[:, :, None, None, None], axis=1
+    )
+    mask = pos < lengths[:, None]
+    return extract, mask, idx
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    model_type: str,
+    extract_ratio: float = 0.5,
+    triplet_weight: float = 0.3,
+    triplet_margin: float = 0.3,
+    use_triplet: bool = True,
+    mask_padding: bool = True,
+) -> Callable:
+    """Build the fused train step: (state, batch, rng) -> (state, metrics).
+
+    batch: {'clip1','clip2': (B,T,H,W,C) f32, 'video_id': (B,) i32,
+            'mask1','mask2': (B,T) bool (optional)}
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        d_rng, e_rng1, e_rng2 = jax.random.split(rng, 3)
+        clip1, clip2 = batch["clip1"], batch["clip2"]
+        B = clip1.shape[0]
+        m1 = batch.get("mask1") if mask_padding else None
+        m2 = batch.get("mask2") if mask_padding else None
+
+        if model_type == "attention":
+            ex1, exm1, idx1 = sample_extracts(e_rng1, clip1, extract_ratio)
+            ex2, exm2, idx2 = sample_extracts(e_rng2, clip2, extract_ratio)
+            if m1 is not None:
+                # extracted frame j came from original index idx[j]; it is
+                # valid only if it was a real (non-padding) frame there.
+                exm1 = exm1 & jnp.take_along_axis(m1, idx1, axis=1)
+            if m2 is not None:
+                exm2 = exm2 & jnp.take_along_axis(m2, idx2, axis=1)
+            # Two batched forwards instead of 2 + 2B: [full1;full2], [ex1;ex2].
+            fulls = jnp.concatenate([clip1, clip2], axis=0)
+            fmask = None
+            if m1 is not None and m2 is not None:
+                fmask = jnp.concatenate([m1, m2], axis=0)
+            emb_full, mutated = model.apply(
+                variables, fulls, train=True, mask=fmask,
+                rngs={"dropout": jax.random.fold_in(d_rng, 0)},
+                mutable=["batch_stats"],
+            )
+            variables = {"params": params, "batch_stats": mutated["batch_stats"]}
+            exs = jnp.concatenate([ex1, ex2], axis=0)
+            exmask = jnp.concatenate([exm1, exm2], axis=0)
+            emb_ex, mutated = model.apply(
+                variables, exs, train=True, mask=exmask,
+                rngs={"dropout": jax.random.fold_in(d_rng, 1)},
+                mutable=["batch_stats"],
+            )
+            out = attention_contrastive_loss(
+                emb_full[:B], emb_full[B:], emb_ex[:B], emb_ex[B:],
+                temperature=params["temperature"],
+                video_ids=batch.get("video_id") if use_triplet else None,
+                use_triplet=use_triplet,
+                triplet_weight=triplet_weight,
+                triplet_margin=triplet_margin,
+            )
+            emb1, emb2 = emb_full[:B], emb_full[B:]
+        else:
+            both = jnp.concatenate([clip1, clip2], axis=0)
+            emb, mutated = model.apply(
+                variables, both, train=True,
+                rngs={"dropout": d_rng},
+                mutable=["batch_stats"],
+            )
+            emb1, emb2 = emb[:B], emb[B:]
+            out = cnn3d_contrastive_loss(
+                emb1, emb2,
+                temperature=params["temperature"],
+                video_ids=batch.get("video_id") if use_triplet else None,
+                use_triplet=use_triplet,
+                triplet_weight=triplet_weight,
+                triplet_margin=triplet_margin,
+            )
+
+        # accuracy from the loss-path embeddings (the reference pays 2 extra
+        # no-grad forwards for this, train.py:235-241).
+        logits = (emb1 @ emb2.T) / params["temperature"]
+        acc = jnp.mean(
+            (jnp.argmax(logits, axis=1) == jnp.arange(B)).astype(jnp.float32)
+        )
+        out["acc"] = acc
+        return out["loss"], (mutated["batch_stats"], out)
+
+    def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callable:
+    """Validation step: loss (no triplet — reference passes no video_ids in
+    validate, train.py:397-399) + embeddings + accuracy, one forward pair."""
+
+    def eval_step(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        clip1, clip2 = batch["clip1"], batch["clip2"]
+        B = clip1.shape[0]
+        m1 = batch.get("mask1") if mask_padding else None
+        m2 = batch.get("mask2") if mask_padding else None
+        fulls = jnp.concatenate([clip1, clip2], axis=0)
+        fmask = None
+        if m1 is not None and m2 is not None:
+            fmask = jnp.concatenate([m1, m2], axis=0)
+        emb = model.apply(variables, fulls, mask=fmask)
+        emb1, emb2 = emb[:B], emb[B:]
+
+        if model_type == "attention":
+            e_rng1, e_rng2 = jax.random.split(rng)
+            ex1, exm1, _ = sample_extracts(e_rng1, clip1, 0.5)
+            ex2, exm2, _ = sample_extracts(e_rng2, clip2, 0.5)
+            exs = jnp.concatenate([ex1, ex2], axis=0)
+            exmask = jnp.concatenate([exm1, exm2], axis=0)
+            emb_ex = model.apply(variables, exs, mask=exmask)
+            out = attention_contrastive_loss(
+                emb1, emb2, emb_ex[:B], emb_ex[B:],
+                temperature=params["temperature"], video_ids=None,
+            )
+        else:
+            out = cnn3d_contrastive_loss(
+                emb1, emb2, temperature=params["temperature"], video_ids=None,
+            )
+
+        logits = (emb1 @ emb2.T) / params["temperature"]
+        out["acc"] = jnp.mean(
+            (jnp.argmax(logits, axis=1) == jnp.arange(B)).astype(jnp.float32)
+        )
+        return out, emb1, emb2
+
+    return eval_step
