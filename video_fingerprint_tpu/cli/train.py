@@ -1,0 +1,146 @@
+"""Train CLI — same flag surface as the reference (train.py:722-770) plus TPU
+flags (--device, --mask_padding, --seed). Derived-config rules preserved:
+3D model doubles batch and triples LR (train.py:779-781); attention val loader
+uses batch x2 (train.py:834-837); no-args quick-test mode (train.py:871-875).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train Video Fingerprint Model (Attention or 3D CNN) on TPU"
+    )
+    p.add_argument("--data_dir", type=str, required=True, help="Path to video dataset")
+    p.add_argument("--batch_size", type=int, default=8, help="Batch size")
+    p.add_argument("--epochs", type=int, default=50, help="Number of epochs")
+    p.add_argument("--lr", type=float, default=1e-4, help="Learning rate")
+    p.add_argument("--num_workers", type=int, default=4, help="Decode workers")
+    p.add_argument("--checkpoint", type=str, help="Resume from checkpoint")
+    p.add_argument("--no_amp", action="store_true",
+                   help="Accepted for compatibility (bf16/f32 is XLA-managed)")
+    p.add_argument("--run_name", type=str, help="Custom run name (default: timestamp)")
+    p.add_argument("--patience", type=int, default=10, help="Early stopping patience")
+    p.add_argument("--model", type=str, default="attention",
+                   choices=["attention", "3d"], help="Model type")
+    p.add_argument("--clip_length", type=int, default=128, help="3D clip length")
+    p.add_argument("--frame_stride", type=int, default=32, help="3D frame stride")
+    p.add_argument("--triplet_weight", type=float, default=0.3)
+    p.add_argument("--triplet_margin", type=float, default=0.3)
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["tpu", "cuda", "cpu"])
+    p.add_argument("--seed", type=int, default=0, help="Global RNG seed")
+    p.add_argument("--max_frames", type=int, default=500,
+                   help="Max frames per video (attention)")
+    p.add_argument("--no_mask_padding", action="store_true",
+                   help="Reproduce the reference's unmasked padded batches")
+    return p
+
+
+def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if not argv:  # quick-test mode (reference train.py:871-875)
+        print("Quick test mode...")
+        argv = ["--data_dir", "./test_videos", "--batch_size", "2", "--epochs", "2"]
+    args = build_parser().parse_args(argv)
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.trainer import Trainer, setup_run_directory
+
+    if args.run_name:
+        run_dir = Path("./runs") / args.run_name
+        run_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        run_dir = setup_run_directory(prefix="3d_" if args.model == "3d" else "")
+
+    batch_size = args.batch_size if args.model == "attention" else args.batch_size * 2
+    lr = args.lr if args.model == "attention" else args.lr * 3
+
+    config = {
+        "batch_size": batch_size,
+        "epochs": args.epochs,
+        "learning_rate": lr,
+        "lr_spatial": lr * 0.1,
+        "lr_attention": lr * 0.5,
+        "weight_decay": 1e-4,
+        "frame_size": 64,
+        "max_frames": args.max_frames,
+        "clip_length": args.clip_length,
+        "frame_stride": args.frame_stride,
+        "embedding_dim": 256,
+        "spatial_dim": 128,
+        "temporal_dim": 256,
+        "num_attention_blocks": 4,
+        "min_extract_ratio": 0.5,
+        "patience": args.patience,
+        "data_dir": str(args.data_dir),
+        "num_workers": args.num_workers,
+        "model_type": args.model,
+        "command_line": " ".join(sys.argv),
+        "triplet_weight": args.triplet_weight,
+        "triplet_margin": args.triplet_margin,
+        "device": args.device,
+        "seed": args.seed,
+        "mask_padding": not args.no_mask_padding,
+    }
+
+    model = create_model(
+        model_type=args.model,
+        spatial_dim=config["spatial_dim"],
+        temporal_dim=config["temporal_dim"],
+        embedding_dim=config["embedding_dim"],
+        num_attention_blocks=config["num_attention_blocks"],
+        frame_stride=config["frame_stride"],
+    )
+
+    train_loader = create_dataloader(
+        args.data_dir,
+        batch_size=config["batch_size"],
+        num_workers=args.num_workers,
+        frame_size=config["frame_size"],
+        max_frames=config["max_frames"],
+        clip_length=config["clip_length"],
+        frame_stride=config["frame_stride"],
+        mode="train",
+        model_type=args.model,
+        seed=args.seed,
+    )
+    val_loader = create_dataloader(
+        args.data_dir,
+        batch_size=config["batch_size"] * 2
+        if args.model == "attention"
+        else config["batch_size"],
+        num_workers=args.num_workers,
+        frame_size=config["frame_size"],
+        max_frames=config["max_frames"],
+        clip_length=config["clip_length"],
+        frame_stride=config["frame_stride"],
+        mode="val",
+        model_type=args.model,
+        seed=args.seed,
+    )
+
+    if len(train_loader) == 0:
+        print(f"No usable training batches found in {args.data_dir}")
+        return 1
+
+    trainer = Trainer(model, train_loader, val_loader, config, run_dir)
+    if args.checkpoint:
+        trainer.resume(args.checkpoint)
+    trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,324 @@
+"""Dataset, sample index and bucketed loader (C16-C18).
+
+Reference parity targets: `VideoFingerprintDataset` (dataset.py:12-492),
+`collate_fn_padding` (dataset.py:495-528), `create_dataloader`
+(dataset.py:531-579). TPU-first differences:
+
+  - deterministic, shardable sampling: every sample's RNG derives from
+    (seed, epoch, index), and the index is sharded per host
+    (`jax.process_index()`-style shard_index/shard_count) — the reference
+    uses unseeded global RNGs and has no multi-host story;
+  - batches are zero-padded to a *length bucket* (not batch-max) and carry a
+    boolean frame mask, so XLA compiles one program per bucket and the model
+    can exclude padding (the reference pads to batch max and lets padded
+    frames attend, dataset.py:507-524);
+  - decode workers are threads (cv2/PyAV release the GIL) with bounded
+    prefetch, feeding the device while it computes.
+"""
+
+from __future__ import annotations
+
+import collections
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from video_fingerprint_tpu.data import augment as aug
+from video_fingerprint_tpu.data import decode, pairs, preprocess
+
+VIDEO_EXTENSIONS = ("*.mp4", "*.avi", "*.mov", "*.mkv")
+
+
+class VideoFingerprintDataset:
+    """Indexes a directory of videos and produces contrastive clip pairs."""
+
+    def __init__(
+        self,
+        video_dir,
+        frame_size: int = 64,
+        max_frames: int = 1000,
+        clip_length: int = 128,
+        frame_stride: int = 32,
+        min_extract_ratio: float = 0.5,
+        augment: bool = True,
+        cache_videos: bool = True,
+        mode: str = "train",
+        model_type: str = "attention",
+        seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.video_dir = Path(video_dir)
+        self.frame_size = frame_size
+        self.max_frames = max_frames
+        self.clip_length = clip_length
+        self.frame_stride = frame_stride
+        self.min_extract_ratio = min_extract_ratio
+        self.augment = augment
+        self.mode = mode
+        self.model_type = model_type
+        self.seed = seed
+        self.cache_videos = cache_videos
+        self._cache: Dict[str, List[np.ndarray]] = {}
+
+        self.video_paths: List[Path] = []
+        for ext in VIDEO_EXTENSIONS:
+            self.video_paths.extend(self.video_dir.glob(f"**/{ext}"))
+        self.video_paths = sorted(self.video_paths)
+
+        if model_type == "attention":
+            self.samples = [
+                {"path": p, "video_id": i} for i, p in enumerate(self.video_paths)
+            ]
+        else:
+            self.samples = self._build_3d_clip_index()
+
+        # deterministic per-host shard (SURVEY.md §2 C16)
+        self.samples = self.samples[shard_index::shard_count]
+
+        print(f"Found {len(self.video_paths)} videos")
+        print(f"Dataset mode: {model_type}, Total samples: {len(self)}")
+
+    def _build_3d_clip_index(self) -> List[dict]:
+        """<=5 clips per long video for training (dataset.py:57-104)."""
+        samples = []
+        for video_id, path in enumerate(self.video_paths):
+            info = decode.probe(path)
+            if info is None:
+                continue
+            total = info.total_frames
+            if total >= self.clip_length and self.mode == "train":
+                num_clips = min(5, (total - self.clip_length) // 32 + 1)
+                for i in range(num_clips):
+                    samples.append(
+                        {"path": path, "video_id": video_id,
+                         "total_frames": total, "clip_idx": i}
+                    )
+            else:
+                samples.append(
+                    {"path": path, "video_id": video_id,
+                     "total_frames": total, "clip_idx": 0}
+                )
+        return samples
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _rng(self, epoch: int, idx: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx])
+        )
+
+    def _load_full(self, path: Path, rng: np.random.Generator) -> List[np.ndarray]:
+        """Full-video subsampled decode with train-time speed jitter
+        (dataset.py:109-158), cached like the reference (first decode wins)."""
+        key = str(path)
+        if self.cache_videos and key in self._cache:
+            return self._cache[key]
+
+        skip_rate = None
+        if self.augment and self.mode == "train":
+            info = decode.probe(path)
+            if info and info.total_frames > 0:
+                speed = rng.uniform(0.5, 2.0)
+                skip_rate = max(1, int((info.total_frames // self.max_frames) * speed))
+
+        frames = decode.decode_subsampled(path, self.max_frames, skip_rate=skip_rate)
+        if not frames:
+            frames = decode.black_fallback_frames(30)
+        if self.cache_videos and len(self._cache) < 100:
+            self._cache[key] = frames
+        return frames
+
+    def get(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        rng = self._rng(epoch, idx)
+        if self.model_type == "attention":
+            return self._get_attention(idx, rng)
+        return self._get_3d(idx, rng)
+
+    def _finalize_pair(self, frames1, frames2, rng, video_id):
+        frames1 = [
+            aug.train_resize_frame(f, self.frame_size, rng, True, self.augment)
+            for f in frames1
+        ]
+        frames2 = [
+            aug.train_resize_frame(f, self.frame_size, rng, True, self.augment)
+            for f in frames2
+        ]
+        if self.augment:
+            frames1 = aug.apply_augmentations(frames1, rng, self.frame_size)
+            frames2 = aug.apply_augmentations(frames2, rng, self.frame_size)
+        clip1 = preprocess.frames_to_clip(frames1)
+        clip2 = preprocess.frames_to_clip(frames2)
+        return {
+            "clip1": clip1,
+            "clip2": clip2,
+            "video_id": np.int32(video_id),
+            "lengths": np.asarray([clip1.shape[0], clip2.shape[0]], np.int32),
+        }
+
+    def _get_attention(self, idx, rng):
+        info = self.samples[idx]
+        frames = self._load_full(info["path"], rng)
+        s1, s2 = pairs.sample_extract_pair(
+            len(frames), rng, self.min_extract_ratio, train=(self.mode == "train")
+        )
+        return self._finalize_pair(frames[s1], frames[s2], rng, info["video_id"])
+
+    def _get_3d(self, idx, rng):
+        info = self.samples[idx]
+        start1, start2 = pairs.sample_clip_pair_starts(
+            info["total_frames"], self.clip_length, rng,
+            train=(self.mode == "train"), clip_idx=info.get("clip_idx", 0),
+        )
+        f1 = decode.decode_clip(info["path"], start1, self.clip_length)
+        f2 = (
+            [f.copy() for f in f1]
+            if start2 == start1
+            else decode.decode_clip(info["path"], start2, self.clip_length)
+        )
+        return self._finalize_pair(f1, f2, rng, info["video_id"])
+
+
+class BucketedLoader:
+    """Threaded, prefetching loader producing fixed-bucket padded batches.
+
+    Yields {'clip1','clip2': (B, bucket, H, W, C) f32, 'mask1','mask2':
+    (B, bucket) bool, 'video_id': (B,) i32}. For the 3D model clips are fixed
+    length so the bucket is exactly clip_length.
+    """
+
+    def __init__(
+        self,
+        dataset: VideoFingerprintDataset,
+        batch_size: int = 8,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        buckets: Optional[Sequence[int]] = None,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        if buckets is None:
+            cap = (
+                dataset.max_frames
+                if dataset.model_type == "attention"
+                else dataset.clip_length
+            )
+            buckets = preprocess.default_buckets(cap)
+        self.buckets = tuple(buckets)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _sample_iter(self, order) -> Iterator[dict]:
+        if self.num_workers <= 0:
+            for idx in order:
+                yield self.dataset.get(int(idx), self.epoch)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        prefetch = self.num_workers * 2
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending = collections.deque()
+            it = iter(order)
+            for idx in it:
+                pending.append(ex.submit(self.dataset.get, int(idx), self.epoch))
+                if len(pending) >= prefetch:
+                    break
+            while pending:
+                yield pending.popleft().result()
+                for idx in it:
+                    pending.append(ex.submit(self.dataset.get, int(idx), self.epoch))
+                    break
+
+    def _collate(self, batch: List[dict]) -> Dict[str, np.ndarray]:
+        B = len(batch)
+        out: Dict[str, np.ndarray] = {
+            "video_id": np.asarray([s["video_id"] for s in batch], np.int32)
+        }
+        # One shared bucket for both sides: a (T1, T2) pair of independent
+        # buckets would make the jitted train step recompile quadratically.
+        max_t = max(s[side].shape[0] for s in batch for side in ("clip1", "clip2"))
+        bucket = preprocess.bucket_for_length(max_t, self.buckets)
+        for side in ("clip1", "clip2"):
+            hwc = batch[0][side].shape[1:]
+            clips = np.zeros((B, bucket) + hwc, np.float32)
+            masks = np.zeros((B, bucket), bool)
+            for i, s in enumerate(batch):
+                t = min(s[side].shape[0], bucket)
+                clips[i, :t] = s[side][:t]
+                masks[i, :t] = True
+            out[side] = clips
+            out["mask1" if side == "clip1" else "mask2"] = masks
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch, 0xB0B])
+            ).permutation(n)
+        else:
+            order = np.arange(n)
+
+        batch: List[dict] = []
+        for sample in self._sample_iter(order):
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield self._collate(batch)
+        self.epoch += 1
+
+
+def create_dataloader(
+    video_dir,
+    batch_size: int = 8,
+    num_workers: int = 4,
+    frame_size: int = 64,
+    max_frames: int = 500,
+    clip_length: int = 128,
+    frame_stride: int = 16,
+    mode: str = "train",
+    model_type: str = "attention",
+    seed: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
+) -> BucketedLoader:
+    """Factory mirroring the reference signature (dataset.py:531-579)."""
+    dataset = VideoFingerprintDataset(
+        video_dir=video_dir,
+        frame_size=frame_size,
+        max_frames=max_frames,
+        clip_length=clip_length,
+        frame_stride=frame_stride,
+        augment=(mode == "train"),
+        mode=mode,
+        model_type=model_type,
+        seed=seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
+    )
+    return BucketedLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=(mode == "train"),
+        num_workers=num_workers,
+        drop_last=(mode == "train"),
+        seed=seed,
+    )

@@ -1,0 +1,447 @@
+"""Training runtime (C19-C23): epoch loop, validation, checkpoints, artifacts.
+
+Reference parity target: `Trainer` (train.py:17-703). The hot path is the
+fused pjit step from train_step.py; this module is host-side orchestration:
+
+  - run-dir artifact set identical to the reference (C22): config.json,
+    training_info.txt, training_log.txt fixed-width table, TensorBoard
+    scalars every 10 steps + per epoch, training_summary.txt;
+  - checkpoint cadence identical (C21): last every epoch, best on AUC-ROC
+    improvement (+ best_metrics.json), epoch_N every 5; resume restores
+    optimizer state, schedule position and step counters (train.py:849-863);
+  - early stopping on AUC-ROC with patience (train.py:604, :681-685) and the
+    separation-gap warning (train.py:677-679).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from video_fingerprint_tpu.ops.metrics import discrimination_metrics, retrieval_metrics
+from video_fingerprint_tpu.training import checkpoint as ckpt
+from video_fingerprint_tpu.training.optim import current_lr, make_optimizer
+from video_fingerprint_tpu.training.train_step import (
+    TrainState,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _make_tb_writer(logdir):
+    try:  # TensorBoard writer (torch wheel, host-side logging only)
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(str(logdir))
+    except Exception:
+        return _NullWriter()
+
+
+def setup_run_directory(base_dir="./runs", prefix="") -> Path:
+    """Timestamped run dir + `latest` symlink (reference train.py:706-718)."""
+    run_dir = Path(base_dir) / f"{prefix}run_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    latest = Path(base_dir) / "latest"
+    if latest.exists() or latest.is_symlink():
+        latest.unlink()
+    latest.symlink_to(run_dir.name)
+    return run_dir
+
+
+class Trainer:
+    def __init__(self, model, train_loader, val_loader, config: Dict, run_dir):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.run_dir = Path(run_dir)
+        self.model_type = config.get("model_type", "attention")
+
+        self.device = _pick_train_device(config.get("device", "tpu"))
+        frame_size = config["frame_size"]
+
+        total_steps = max(1, len(train_loader) * config["epochs"])
+        rng = jax.random.PRNGKey(config.get("seed", 0))
+        self.state = init_train_state(
+            model, None, rng, (1, 8, frame_size, frame_size, 3)
+        )
+        self.tx = make_optimizer(
+            self.model_type,
+            self.state.params,
+            learning_rate=config["learning_rate"],
+            weight_decay=config.get("weight_decay", 1e-4),
+            total_steps=total_steps,
+            epochs=config["epochs"],
+            steps_per_epoch=max(1, len(train_loader)),
+        )
+        self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
+        self.state = jax.device_put(self.state, self.device)
+        self.total_steps = total_steps
+
+        self.train_step = jax.jit(
+            make_train_step(
+                model, self.tx, self.model_type,
+                extract_ratio=config.get("min_extract_ratio", 0.5),
+                triplet_weight=config.get("triplet_weight", 0.3),
+                triplet_margin=config.get("triplet_margin", 0.3),
+                mask_padding=config.get("mask_padding", True),
+            ),
+            donate_argnums=(0,),
+        )
+        self.eval_step = jax.jit(
+            make_eval_step(model, self.model_type,
+                           mask_padding=config.get("mask_padding", True))
+        )
+        self.step_rng = jax.device_put(
+            jax.random.PRNGKey(config.get("seed", 0) + 1), self.device
+        )
+
+        self.checkpoint_dir = self.run_dir / "checkpoints"
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = _make_tb_writer(self.run_dir / "tensorboard")
+
+        self.best_val_loss = float("inf")
+        self.best_val_acc = 0.0
+        self.best_auc_roc = 0.0
+        self.epoch = 0
+        self.global_step = 0
+
+        self._save_training_info()
+
+    # ------------------------------------------------------------------
+    def _param_count(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
+
+    def _save_training_info(self):
+        (self.run_dir / "config.json").write_text(
+            json.dumps(self.config, indent=2, default=str)
+        )
+        lines = [
+            f"Training started: {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}",
+            f"Device: {self.device}",
+            f"Model type: {self.model_type}",
+            f"Model parameters: {self._param_count():,}",
+            "",
+            "Model Architecture:",
+        ]
+        if self.model_type == "attention":
+            lines += [
+                f"  - Spatial dimension: {self.config.get('spatial_dim', 128)}",
+                f"  - Temporal dimension: {self.config.get('temporal_dim', 256)}",
+                f"  - Attention blocks: {self.config.get('num_attention_blocks', 4)}",
+            ]
+        else:
+            lines += [
+                f"  - Frame stride: {self.config.get('frame_stride', 16)}",
+                f"  - Clip length: {self.config.get('clip_length', 128)}",
+            ]
+        lines += [
+            f"  - Embedding dimension: {self.config['embedding_dim']}",
+            "",
+            "Data Configuration:",
+            f"  - Frame size: {self.config['frame_size']}",
+            f"  - Batch size: {self.config['batch_size']}",
+            f"  - Training batches: {len(self.train_loader)}",
+            f"  - Validation batches: {len(self.val_loader)}",
+            "",
+            "Command line arguments:",
+            f"  {' '.join(sys.argv)}",
+        ]
+        (self.run_dir / "training_info.txt").write_text("\n".join(lines) + "\n")
+
+    # ------------------------------------------------------------------
+    def train_epoch(self) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        num_batches = 0
+        self.train_loader.set_epoch(self.epoch)
+
+        for batch in self.train_loader:
+            t0 = time.time()
+            device_batch = {
+                k: jax.device_put(v, self.device) for k, v in batch.items()
+            }
+            self.state, metrics = self.train_step(
+                self.state, device_batch, self.step_rng
+            )
+            loss = float(metrics["loss"])
+            acc = float(metrics["acc"])
+            dt = time.time() - t0
+
+            sums["loss"] = sums.get("loss", 0.0) + loss
+            sums["acc"] = sums.get("acc", 0.0) + acc
+            sums["time_per_batch"] = sums.get("time_per_batch", 0.0) + dt
+            for k, v in metrics.items():
+                if k.startswith("loss_") or k == "num_triplets":
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            num_batches += 1
+
+            if self.global_step % 10 == 0:
+                lr = current_lr(
+                    self.model_type, self.config["learning_rate"],
+                    self.global_step, self.total_steps,
+                    self.config["epochs"], max(1, len(self.train_loader)),
+                )
+                self.writer.add_scalar("Train/loss_step", loss, self.global_step)
+                self.writer.add_scalar("Train/acc_step", acc, self.global_step)
+                self.writer.add_scalar("Train/lr", lr, self.global_step)
+            self.global_step += 1
+
+        return {k: v / max(1, num_batches) for k, v in sums.items()}
+
+    # ------------------------------------------------------------------
+    def validate(self) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        num_batches = 0
+        all_embeddings = []
+        all_video_ids = []
+        rng = jax.random.PRNGKey(1234)
+
+        first_clip_batch = None
+        for i, batch in enumerate(self.val_loader):
+            device_batch = {k: jax.device_put(v, self.device) for k, v in batch.items()}
+            out, emb1, emb2 = self.eval_step(
+                self.state.params, self.state.batch_stats,
+                {k: v for k, v in device_batch.items() if k != "video_id"},
+                jax.random.fold_in(rng, i),
+            )
+            for k, v in out.items():
+                if k.startswith("loss") or k == "acc":
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            num_batches += 1
+            all_embeddings.append(np.asarray(emb1))
+            all_embeddings.append(np.asarray(emb2))
+            ids = np.asarray(batch["video_id"])
+            all_video_ids.extend(ids.tolist() * 2)
+            if first_clip_batch is None:
+                first_clip_batch = (device_batch["clip1"], device_batch.get("mask1"))
+
+        metrics = {k: v / max(1, num_batches) for k, v in sums.items()}
+        if not all_embeddings:
+            return metrics
+
+        embeddings = np.concatenate(all_embeddings, axis=0)
+        ids = np.asarray(all_video_ids, np.int32)
+
+        r = retrieval_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
+        n_videos = len(set(ids.tolist()))
+        for k in (1, 5, 10):  # the reference skips k > n_videos-1 (train.py:449)
+            if k <= n_videos - 1:
+                metrics[f"R@{k}"] = float(r[f"R@{k}"])
+        metrics["mAP"] = float(r["mAP"])
+
+        d = discrimination_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
+        metrics.update({k: float(v) for k, v in d.items()})
+
+        if self.model_type == "attention" and first_clip_batch is not None:
+            metrics.update(self._extract_robustness(*first_clip_batch))
+        return metrics
+
+    def _extract_robustness(self, clip, mask) -> Dict[str, float]:
+        """Center extracts at ratios {0.5..0.9}, cosine to full embedding
+        (reference train.py:483-518)."""
+        out = {}
+        emb_full = self.model.apply(
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            clip, mask=mask,
+        )
+        T = clip.shape[1]
+        for ratio in (0.5, 0.6, 0.7, 0.8, 0.9):
+            ext_len = int(T * ratio)
+            if ext_len >= T or ext_len < 1:
+                continue
+            start = (T - ext_len) // 2
+            sub = clip[:, start : start + ext_len]
+            submask = mask[:, start : start + ext_len] if mask is not None else None
+            emb_ext = self.model.apply(
+                {"params": self.state.params, "batch_stats": self.state.batch_stats},
+                sub, mask=submask,
+            )
+            cos = jnp.mean(jnp.sum(emb_full * emb_ext, axis=1))
+            out[f"extract_sim_{int(ratio * 100)}"] = float(cos)
+        return out
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, is_best: bool = False, metrics: Optional[Dict] = None):
+        opt_sd = serialization.to_state_dict(self.state.opt_state)
+        bests = {
+            "best_val_loss": self.best_val_loss,
+            "best_val_acc": self.best_val_acc,
+            "best_auc_roc": self.best_auc_roc,
+        }
+
+        def save(path):
+            ckpt.save_checkpoint(
+                path,
+                self.state.params,
+                self.state.batch_stats,
+                self.config,
+                opt_state_sd=opt_sd,
+                epoch=self.epoch,
+                global_step=self.global_step,
+                bests=bests,
+                metrics=metrics,
+            )
+
+        save(self.checkpoint_dir / "last.ckpt")
+        if is_best:
+            save(self.checkpoint_dir / "best.ckpt")
+            if metrics:
+                (self.checkpoint_dir / "best_metrics.json").write_text(
+                    json.dumps(metrics, indent=2, default=float)
+                )
+        if self.epoch % 5 == 0:
+            save(self.checkpoint_dir / f"epoch_{self.epoch}.ckpt")
+            if metrics:
+                (self.checkpoint_dir / f"epoch_{self.epoch}_metrics.json").write_text(
+                    json.dumps(metrics, indent=2, default=float)
+                )
+
+    def resume(self, checkpoint_path):
+        payload = ckpt.load_checkpoint(checkpoint_path)
+        model_vars = payload["model"]
+        train = payload["train"]
+        opt_state = serialization.from_state_dict(
+            self.tx.init(model_vars["params"]), train["opt_state"]
+        )
+        self.state = jax.device_put(
+            TrainState(
+                params=model_vars["params"],
+                batch_stats=model_vars["batch_stats"],
+                opt_state=opt_state,
+                step=jnp.asarray(train["global_step"], jnp.int32),
+            ),
+            self.device,
+        )
+        self.epoch = int(train["epoch"]) + 1
+        self.global_step = int(train["global_step"])
+        bests = train.get("bests", {})
+        self.best_val_loss = float(bests.get("best_val_loss", float("inf")))
+        self.best_val_acc = float(bests.get("best_val_acc", 0.0))
+        self.best_auc_roc = float(bests.get("best_auc_roc", 0.0))
+        print(f"Resumed from epoch {self.epoch}")
+        with open(self.run_dir / "training_info.txt", "a") as f:
+            f.write(f"\n\nResumed from checkpoint: {checkpoint_path}\n")
+
+    def _update_training_log(self, train_metrics, val_metrics, is_best):
+        log_path = self.run_dir / "training_log.txt"
+        with open(log_path, "a") as f:
+            if self.epoch == 0:
+                f.write("\n" + "=" * 130 + "\n")
+                f.write(
+                    "Epoch | Train Loss | Train Acc | Val Loss | Val Acc | AUC-ROC"
+                    " | Intra Sim | Inter Sim | F1@0.7 | F1@0.8 | Best\n"
+                )
+                f.write("-" * 130 + "\n")
+            f.write(
+                f"{self.epoch:5d} | {train_metrics['loss']:10.4f} | "
+                f"{train_metrics['acc']:9.3f} | {val_metrics['loss']:8.4f} | "
+                f"{val_metrics['acc']:7.3f} | {val_metrics.get('auc_roc', 0):7.3f} | "
+                f"{val_metrics.get('intra_sim_mean', 0):9.3f} | "
+                f"{val_metrics.get('inter_sim_mean', 0):9.3f} | "
+                f"{val_metrics.get('f1@0.70', 0):6.3f} | "
+                f"{val_metrics.get('f1@0.80', 0):6.3f} | "
+                f"{'V' if is_best else 'X'}\n"
+            )
+
+    # ------------------------------------------------------------------
+    def train(self):
+        print(f"Training on {self.device}")
+        print(f"Model type: {self.model_type}")
+        print(f"Model parameters: {self._param_count():,}")
+        print(f"\nRun directory: {self.run_dir}")
+
+        patience = self.config.get("patience", 10)
+        patience_counter = 0
+
+        for epoch in range(self.epoch, self.config["epochs"]):
+            self.epoch = epoch
+            train_metrics = self.train_epoch()
+            val_metrics = self.validate()
+
+            print(f"\n{'=' * 80}")
+            print(f"Epoch {epoch}/{self.config['epochs']}")
+            print(
+                f"Train - Loss: {train_metrics['loss']:.4f}, "
+                f"Acc: {train_metrics['acc']:.3f}"
+            )
+            print(
+                f"Val   - Loss: {val_metrics.get('loss', 0):.4f}, "
+                f"Acc: {val_metrics.get('acc', 0):.3f}"
+            )
+            print(f"  AUC-ROC: {val_metrics.get('auc_roc', 0):.3f}")
+            print(
+                f"  Separation gap: {val_metrics.get('separation_gap', 0):.3f} "
+                f"(intra {val_metrics.get('intra_sim_mean', 0):.3f} / "
+                f"inter {val_metrics.get('inter_sim_mean', 0):.3f})"
+            )
+
+            for key, value in train_metrics.items():
+                self.writer.add_scalar(f"Train/{key}", value, epoch)
+            for key, value in val_metrics.items():
+                self.writer.add_scalar(f"Val/{key}", value, epoch)
+
+            auc = val_metrics.get("auc_roc", 0.0)
+            is_best = auc > self.best_auc_roc
+            if is_best:
+                self.best_auc_roc = auc
+                self.best_val_acc = val_metrics.get("acc", 0.0)
+                self.best_val_loss = val_metrics.get("loss", float("inf"))
+                print(f"\nNew best AUC-ROC: {auc:.3f}")
+                patience_counter = 0
+            else:
+                patience_counter += 1
+                print(f"\nEarly stopping patience: {patience_counter}/{patience}")
+
+            self.save_checkpoint(
+                is_best, metrics={"train": train_metrics, "val": val_metrics,
+                                  "epoch": epoch},
+            )
+            self._update_training_log(train_metrics, val_metrics, is_best)
+
+            if val_metrics.get("separation_gap", 0) < 0.1:
+                print("\nWARNING: Poor separation between same and different videos!")
+
+            if patience_counter >= patience:
+                print(f"\nEarly stopping after {patience} epochs without improvement.")
+                break
+
+        self.writer.close()
+        summary = [
+            f"Training completed: {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}",
+            f"Model type: {self.model_type}",
+            f"Total epochs: {self.epoch + 1}",
+            f"Best AUC-ROC: {self.best_auc_roc:.4f}",
+            f"Best validation accuracy: {self.best_val_acc:.4f}",
+            f"Best validation loss: {self.best_val_loss:.4f}",
+            f"Final checkpoint: {self.checkpoint_dir / 'last.ckpt'}",
+            f"Best checkpoint: {self.checkpoint_dir / 'best.ckpt'}",
+        ]
+        (self.run_dir / "training_summary.txt").write_text("\n".join(summary) + "\n")
+        print("\nTraining completed!")
+        print(f"Results saved to: {self.run_dir}")
+
+
+def _pick_train_device(device: str):
+    want = {"cuda": "tpu"}.get(device, device)
+    try:
+        return jax.devices(want)[0]
+    except RuntimeError:
+        return jax.devices()[0]
