@@ -1,0 +1,55 @@
+"""Multi-host initialization and data-parallel placement helpers.
+
+The reference is single-process/single-device (SURVEY.md §2 checklist); this
+is the TPU-native replacement: DP over ICI within a slice via GSPMD shardings,
+multi-host over DCN via `jax.distributed.initialize` (standard JAX runtime —
+no custom transport). The per-host input shard comes from
+(`jax.process_index()`, `jax.process_count()`) and is consumed by the
+dataset index sharding (data/dataset.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+
+def maybe_initialize_distributed() -> Tuple[int, int]:
+    """Initialize multi-host JAX when a coordinator is configured.
+
+    Controlled by standard env (JAX_COORDINATOR_ADDRESS etc. or TPU pod
+    metadata). Safe no-op single-host. Returns (process_index, process_count).
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or misconfigured
+            print(f"jax.distributed.initialize skipped: {e}")
+    return jax.process_index(), jax.process_count()
+
+
+class DataParallel:
+    """Placement helper: replicate state, shard batches over axis 'data'."""
+
+    def __init__(self, devices=None, axis_name: str = "data"):
+        devices = list(devices) if devices is not None else jax.devices()
+        self.mesh: Mesh = make_mesh(axis_name, devices)
+        self.axis_name = axis_name
+        self.n = len(devices)
+        self.replicated = NamedSharding(self.mesh, P())
+        self.batch_sharding = NamedSharding(self.mesh, P(axis_name))
+
+    def shard_batch(self, batch: dict) -> dict:
+        return {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+
+    def replicate(self, tree):
+        return jax.device_put(tree, self.replicated)
+
+    def pad_batch_size(self, b: int) -> int:
+        return ((b + self.n - 1) // self.n) * self.n

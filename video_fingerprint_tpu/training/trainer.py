@@ -75,7 +75,24 @@ class Trainer:
         self.run_dir = Path(run_dir)
         self.model_type = config.get("model_type", "attention")
 
-        self.device = _pick_train_device(config.get("device", "tpu"))
+        # Data-parallel placement over every device of the chosen platform:
+        # state replicated, batches sharded over the 'data' mesh axis. On one
+        # chip this degenerates to plain single-device placement; multi-host
+        # processes each feed their own index shard (parallel/distributed.py).
+        from video_fingerprint_tpu.parallel.distributed import DataParallel
+
+        devices = _pick_train_devices(config.get("device", "tpu"))
+        # use the largest device count that divides the batch size
+        n_use = len(devices)
+        while config["batch_size"] % n_use != 0:
+            n_use -= 1
+        if n_use < len(devices):
+            print(
+                f"Using {n_use}/{len(devices)} devices "
+                f"(batch_size {config['batch_size']} not divisible by {len(devices)})"
+            )
+        self.dp = DataParallel(devices[:n_use])
+        self.device = devices[0]
         frame_size = config["frame_size"]
 
         total_steps = max(1, len(train_loader) * config["epochs"])
@@ -93,7 +110,7 @@ class Trainer:
             steps_per_epoch=max(1, len(train_loader)),
         )
         self.state = self.state.replace(opt_state=self.tx.init(self.state.params))
-        self.state = jax.device_put(self.state, self.device)
+        self.state = self.dp.replicate(self.state)
         self.total_steps = total_steps
 
         self.train_step = jax.jit(
@@ -110,9 +127,7 @@ class Trainer:
             make_eval_step(model, self.model_type,
                            mask_padding=config.get("mask_padding", True))
         )
-        self.step_rng = jax.device_put(
-            jax.random.PRNGKey(config.get("seed", 0) + 1), self.device
-        )
+        self.step_rng = self.dp.replicate(jax.random.PRNGKey(config.get("seed", 0) + 1))
 
         self.checkpoint_dir = self.run_dir / "checkpoints"
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
@@ -175,9 +190,7 @@ class Trainer:
 
         for batch in self.train_loader:
             t0 = time.time()
-            device_batch = {
-                k: jax.device_put(v, self.device) for k, v in batch.items()
-            }
+            device_batch = self.dp.shard_batch(batch)
             self.state, metrics = self.train_step(
                 self.state, device_batch, self.step_rng
             )
@@ -216,7 +229,7 @@ class Trainer:
 
         first_clip_batch = None
         for i, batch in enumerate(self.val_loader):
-            device_batch = {k: jax.device_put(v, self.device) for k, v in batch.items()}
+            device_batch = self.dp.shard_batch(batch)
             out, emb1, emb2 = self.eval_step(
                 self.state.params, self.state.batch_stats,
                 {k: v for k, v in device_batch.items() if k != "video_id"},
@@ -321,14 +334,13 @@ class Trainer:
         opt_state = serialization.from_state_dict(
             self.tx.init(model_vars["params"]), train["opt_state"]
         )
-        self.state = jax.device_put(
+        self.state = self.dp.replicate(
             TrainState(
                 params=model_vars["params"],
                 batch_stats=model_vars["batch_stats"],
                 opt_state=opt_state,
                 step=jnp.asarray(train["global_step"], jnp.int32),
-            ),
-            self.device,
+            )
         )
         self.epoch = int(train["epoch"]) + 1
         self.global_step = int(train["global_step"])
@@ -439,9 +451,9 @@ class Trainer:
         print(f"Results saved to: {self.run_dir}")
 
 
-def _pick_train_device(device: str):
+def _pick_train_devices(device: str):
     want = {"cuda": "tpu"}.get(device, device)
     try:
-        return jax.devices(want)[0]
+        return jax.devices(want)
     except RuntimeError:
-        return jax.devices()[0]
+        return jax.devices()
