@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Device batch size for bucketed extraction")
     parser.add_argument("--no_batched", action="store_true",
                         help="Disable bucketed batching (sequential batch=1)")
+    parser.add_argument("--native_preprocess", action="store_true",
+                        help="Use the C++ host preprocess runtime (fast path; "
+                             "cv2 remains the bit-exact default)")
     return parser
 
 
@@ -56,7 +59,10 @@ def main(argv=None) -> int:
     print("Starting video fingerprint scanner")
     print("=" * 80)
 
-    scanner = FingerprintScanner(args.model, device=args.device, batch_size=args.batch)
+    scanner = FingerprintScanner(
+        args.model, device=args.device, batch_size=args.batch,
+        native_preprocess=args.native_preprocess,
+    )
 
     video_dir = Path(args.scan)
     if not video_dir.exists():

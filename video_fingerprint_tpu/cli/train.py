@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max frames per video (attention)")
     p.add_argument("--no_mask_padding", action="store_true",
                    help="Reproduce the reference's unmasked padded batches")
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a jax.profiler trace (xplane) of early steps "
+                        "into <run_dir>/profile")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="Enable jax_debug_nans (fail fast on NaNs)")
     return p
 
 
@@ -53,6 +58,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from video_fingerprint_tpu.data.dataset import create_dataloader
     from video_fingerprint_tpu.models import create_model
@@ -93,6 +102,7 @@ def main(argv=None) -> int:
         "device": args.device,
         "seed": args.seed,
         "mask_padding": not args.no_mask_padding,
+        "profile": args.profile,
     }
 
     model = create_model(

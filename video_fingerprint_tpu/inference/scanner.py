@@ -47,9 +47,17 @@ class FingerprintScanner:
         device: str = "tpu",
         batch_size: int = 8,
         buckets: Optional[Sequence[int]] = None,
+        native_preprocess: bool = False,
     ):
         self.batch_size = batch_size
         self.device = _pick_device(device)
+        self.native_preprocess = False
+        if native_preprocess:
+            from video_fingerprint_tpu.utils import native
+
+            self.native_preprocess = native.available()
+            if not self.native_preprocess:
+                print("native preprocess requested but unavailable; using cv2")
 
         print(f"Loading model from {model_path}...")
         self.variables, self.config = load_any(model_path)
@@ -225,7 +233,14 @@ class FingerprintScanner:
                     frames = decode.decode_subsampled(path, self.max_frames)
                     if len(frames) < 10:
                         return (path, None)
-                    clip = preprocess.preprocess_frames(frames, self.frame_size)
+                    if self.native_preprocess:
+                        from video_fingerprint_tpu.utils import native
+
+                        clip = native.preprocess_frames(
+                            np.stack(frames), self.frame_size
+                        )
+                    else:
+                        clip = preprocess.preprocess_frames(frames, self.frame_size)
                     return (path, clip)
                 except Exception:
                     return (path, None)

@@ -293,18 +293,25 @@ class MultiHeadSelfAttention(nn.Module):
         k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / math.sqrt(D)
-        if mask is not None:
-            neg = jnp.finfo(jnp.float32).min / 2
-            scores = jnp.where(mask[:, None, None, :], scores, neg)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(rate=self.drop, deterministic=not train)(attn)
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd", attn.astype(compute_dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(compute_dtype)
+        if not train:
+            # Fused Pallas kernel on TPU (no attention dropout in eval);
+            # identical jnp math elsewhere (ops/attention.py).
+            from video_fingerprint_tpu.ops.attention import multihead_attention
+
+            out = multihead_attention(q, k, v, mask=mask)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / math.sqrt(D)
+            if mask is not None:
+                neg = jnp.finfo(jnp.float32).min / 2
+                scores = jnp.where(mask[:, None, None, :], scores, neg)
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(rate=self.drop, deterministic=not train)(attn)
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd", attn.astype(compute_dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(compute_dtype)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, C)
         out = TorchDense(
             features=C,

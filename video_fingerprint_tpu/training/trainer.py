@@ -188,7 +188,17 @@ class Trainer:
         num_batches = 0
         self.train_loader.set_epoch(self.epoch)
 
+        # --profile: capture an xplane trace of a few post-warmup steps
+        # (the reference has no profiler at all; SURVEY.md §5 tracing).
+        profile_window = (2, 6) if (
+            self.config.get("profile") and self.epoch == 0
+        ) else None
+        profiling = False
+
         for batch in self.train_loader:
+            if profile_window and num_batches == profile_window[0]:
+                jax.profiler.start_trace(str(self.run_dir / "profile"))
+                profiling = True
             t0 = time.time()
             device_batch = self.dp.shard_batch(batch)
             self.state, metrics = self.train_step(
@@ -216,7 +226,13 @@ class Trainer:
                 self.writer.add_scalar("Train/acc_step", acc, self.global_step)
                 self.writer.add_scalar("Train/lr", lr, self.global_step)
             self.global_step += 1
+            if profiling and num_batches >= profile_window[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace written to {self.run_dir / 'profile'}")
 
+        if profiling:
+            jax.profiler.stop_trace()
         return {k: v / max(1, num_batches) for k, v in sums.items()}
 
     # ------------------------------------------------------------------
