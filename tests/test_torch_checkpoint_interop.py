@@ -1,0 +1,94 @@
+"""Reference .pth checkpoints: direct load in the scanner + CLI converter."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT
+
+torch = pytest.importorskip("torch")
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference checkout unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def torch_ckpt(tmp_path_factory):
+    """A reference-format checkpoint (train.py:538-550 layout) built by
+    running the reference model."""
+    sys.path.insert(0, str(REFERENCE))
+    import model as ref
+
+    torch.manual_seed(7)
+    m = ref.create_model("attention")
+    m.eval()
+    config = {
+        "model_type": "attention",
+        "frame_size": 64,
+        "max_frames": 500,
+        "embedding_dim": 256,
+        "spatial_dim": 128,
+        "temporal_dim": 256,
+        "num_attention_blocks": 4,
+    }
+    ckpt = {
+        "epoch": 3,
+        "global_step": 42,
+        "model_state_dict": m.state_dict(),
+        "config": config,
+        "best_auc_roc": 0.9,
+        "best_val_loss": 0.5,
+        "best_val_acc": 0.8,
+    }
+    path = tmp_path_factory.mktemp("pth") / "ref.pth"
+    torch.save(ckpt, path)
+
+    video = torch.rand(1, 12, 3, 64, 64)
+    with torch.no_grad():
+        emb = m(video).numpy()
+    return path, video.numpy(), emb
+
+
+def test_scanner_loads_pth_directly(torch_ckpt):
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    path, video, ref_emb = torch_ckpt
+    sc = FingerprintScanner(str(path), device="cpu")
+    ours = np.asarray(
+        sc._fwd(sc.variables, jnp.asarray(video).transpose(0, 1, 3, 4, 2))
+    )
+    cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
+    assert cos > 0.9999, cos
+
+
+def test_convert_cli_roundtrip(torch_ckpt, tmp_path):
+    import jax.numpy as jnp
+
+    path, video, ref_emb = torch_ckpt
+    out = tmp_path / "converted.ckpt"
+    subprocess.run(
+        [sys.executable, str(REPO_ROOT / "tools" / "convert_checkpoint.py"),
+         str(path), str(out)],
+        check=True, capture_output=True, timeout=300,
+    )
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+    from video_fingerprint_tpu.training.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(out)
+    assert payload["train"]["epoch"] == 3
+    assert payload["train"]["global_step"] == 42
+    assert payload["train"]["bests"]["best_auc_roc"] == pytest.approx(0.9)
+    assert payload["config"]["model_type"] == "attention"
+
+    sc = FingerprintScanner(str(out), device="cpu")
+    ours = np.asarray(
+        sc._fwd(sc.variables, jnp.asarray(video).transpose(0, 1, 3, 4, 2))
+    )
+    cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
+    assert cos > 0.9999, cos

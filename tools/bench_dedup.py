@@ -1,0 +1,83 @@
+"""Large-scale dedup benchmark: on-TPU top-k over a synthetic corpus
+(BASELINE.md config #5 — the FAISS IndexFlatIP replacement).
+
+Usage: python tools/bench_dedup.py [--n 100000] [--k 20] [--cpu]
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}; baseline is
+numpy full all-pairs argpartition on the host (what the reference's direct
+path does, fingerprint.py:482-513; FAISS is unavailable in this image).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--k", type=int, default=20)
+    parser.add_argument("--dim", type=int, default=256)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--baseline_n", type=int, default=4000,
+                        help="corpus size for the host-numpy baseline "
+                             "(full N^2 on host would not fit)")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
+
+    rng = np.random.default_rng(0)
+    e = rng.normal(size=(args.n, args.dim)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+
+    multi = len(jax.devices()) > 1
+    fn = sharded_topk_cosine if multi else topk_cosine
+
+    t0 = time.perf_counter()
+    s, i = fn(e, args.k)
+    jax.block_until_ready((s, i))
+    warm = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    s, i = fn(e, args.k)
+    jax.block_until_ready((s, i))
+    dt = time.perf_counter() - t0
+    qps = args.n / dt
+
+    # host-numpy baseline on a smaller corpus, scaled by N (O(N^2) work)
+    nb = min(args.baseline_n, args.n)
+    eb = e[:nb]
+    t0 = time.perf_counter()
+    sims = eb @ eb.T
+    idx = np.argpartition(-sims, args.k, axis=1)[:, : args.k]
+    np.take_along_axis(sims, idx, axis=1)
+    bt = time.perf_counter() - t0
+    baseline_qps_at_n = nb / (bt * (args.n / nb))  # scale O(N^2) to full N
+
+    print(json.dumps({
+        "metric": f"dedup top-{args.k} search over {args.n}-video corpus"
+                  + (" (corpus-sharded)" if multi else " (single chip)"),
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / baseline_qps_at_n, 2),
+        "warmup_s": round(warm, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
