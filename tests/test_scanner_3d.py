@@ -1,0 +1,54 @@
+"""3D-model scan: batched windows path vs sequential, incl. short videos."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus3d(tmp_path_factory):
+    from video_fingerprint_tpu.utils.synthetic import make_corpus, synthetic_frames, write_video
+
+    d = tmp_path_factory.mktemp("videos3d")
+    # long videos (multi-window at clip_length=16: total >= 2*16), one short
+    for i in range(3):
+        write_video(d / f"long_{i}.mp4", synthetic_frames(i, 80))
+    write_video(d / "short.mp4", synthetic_frames(9, 12))
+    return d
+
+
+@pytest.fixture(scope="module")
+def scanner3d(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+
+    model = create_model("3d", frame_stride=4)
+    variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 64, 64, 3)))
+    config = {
+        "model_type": "3d", "frame_size": 64, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256,
+    }
+    path = tmp_path_factory.mktemp("ckpt3d") / "m.ckpt"
+    save_checkpoint(path, variables["params"], variables["batch_stats"], config)
+    return FingerprintScanner(str(path), device="cpu", batch_size=4)
+
+
+def test_3d_batched_equals_sequential(scanner3d, corpus3d):
+    seq = scanner3d.scan_directory(corpus3d, num_workers=1, batched=False)
+    bat = scanner3d.scan_directory(corpus3d, num_workers=2, batched=True)
+    assert set(seq) == set(bat)
+    assert len(seq) == 4
+    for path in seq:
+        a, b = seq[path]["embedding"], bat[path]["embedding"]
+        cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.9999, (path, cos)
+
+
+def test_3d_short_video_handled(scanner3d, corpus3d):
+    bat = scanner3d.scan_directory(corpus3d, num_workers=2, batched=True)
+    short = [v for k, v in bat.items() if "short" in k]
+    assert len(short) == 1
+    assert short[0]["embedding_norm"] == pytest.approx(1.0, abs=1e-3)

@@ -184,6 +184,8 @@ class FingerprintScanner:
         start = time.time()
         if batched and self.model_type == "attention":
             fingerprints, failed = self._scan_batched(video_paths, num_workers)
+        elif batched and self.model_type in ("3d", "cnn3d"):
+            fingerprints, failed = self._scan_batched_3d(video_paths, num_workers)
         else:
             fingerprints, failed = self._scan_sequential(video_paths)
         elapsed = time.time() - start
@@ -207,6 +209,12 @@ class FingerprintScanner:
     def _scan_sequential(self, video_paths: List[Path]):
         fingerprints: Dict[str, dict] = {}
         failed = 0
+        try:
+            from tqdm import tqdm
+
+            video_paths = tqdm(video_paths, desc="Extracting fingerprints")
+        except ImportError:
+            pass
         for video_path in video_paths:
             emb = self.extract_fingerprint(video_path)
             if emb is None:
@@ -292,6 +300,110 @@ class FingerprintScanner:
                 flush(bucket)
         for bucket in self.buckets:
             flush(bucket)
+        return fingerprints, failed
+
+    def _scan_batched_3d(self, video_paths: List[Path], num_workers: int):
+        """Batched 3D scan: all windows are exactly clip_length frames, so
+        batching is one fixed shape. Window embeddings scatter back to their
+        video and are averaged (+renormalized when multi-window, matching
+        fingerprint.py:293-318). Replaces the reference's GIL-bound
+        ThreadPoolExecutor parallel path (fingerprint.py:377-415)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # plan windows per video (same policy as _extract_3d). Videos shorter
+        # than clip_length go through the sequential true-length path: zero-
+        # padding them to the batch shape would add extra temporal positions
+        # the reference's pooling never sees (model.py:479-504).
+        plans = []  # (path, [starts]) — starts None => failed, [] => sequential
+        for path in video_paths:
+            info = decode.probe(path)
+            if not info or info.total_frames < 10:
+                plans.append((path, None))
+                continue
+            total = info.total_frames
+            if total <= self.clip_length:
+                plans.append((path, []))
+            else:
+                nw = min(5, max(3, total // (self.clip_length * 2)))
+                stride = (total - self.clip_length) // (nw - 1) if nw > 1 else 0
+                plans.append((path, [i * stride for i in range(nw)]))
+
+        def load_window(job):
+            path, start = job
+            try:
+                frames = decode.decode_clip(path, start, self.clip_length)
+                frames = [
+                    preprocess.square_center_crop_resize(f, self.frame_size)
+                    for f in frames
+                ]
+                return preprocess.frames_to_clip(frames)
+            except Exception:
+                return None
+
+        jobs, owners = [], []
+        for path, starts in plans:
+            if starts:
+                for s in starts:
+                    jobs.append((path, s))
+                    owners.append(str(path))
+
+        per_video: Dict[str, list] = {}
+        expected = {str(p): (len(s) if s else 0) for p, s in plans}
+
+        fwd = self._fwd
+        B = self.batch_size
+        buf, buf_owner = [], []
+        fingerprints: Dict[str, dict] = {}
+        failed = 0
+
+        def flush():
+            nonlocal buf, buf_owner
+            if not buf:
+                return
+            arr = np.zeros(
+                (B, self.clip_length, self.frame_size, self.frame_size, 3),
+                np.float32,
+            )
+            for i, c in enumerate(buf):
+                arr[i] = c
+            embs = np.asarray(
+                fwd(self.variables, jax.device_put(jnp.asarray(arr), self.device))
+            )
+            for i, owner in enumerate(buf_owner):
+                per_video.setdefault(owner, []).append(embs[i])
+            buf, buf_owner = [], []
+
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            for owner, clip in zip(owners, pool.map(load_window, jobs)):
+                if clip is None:
+                    expected[owner] -= 1
+                    continue
+                buf.append(clip)
+                buf_owner.append(owner)
+                if len(buf) >= B:
+                    flush()
+        flush()
+
+        for path, starts in plans:
+            key = str(path)
+            if starts is None:
+                failed += 1
+                continue
+            if starts == []:  # short video: sequential true-length forward
+                emb = self._extract_3d(Path(path))
+                if emb is None:
+                    failed += 1
+                else:
+                    fingerprints[key] = self._metadata(Path(path), emb)
+                continue
+            embs = per_video.get(key, [])
+            if not embs or len(embs) < max(1, expected[key]):
+                failed += 1
+                continue
+            # multi-window videos always renormalize (fingerprint.py:316-318)
+            emb = np.mean(np.stack(embs), axis=0)
+            emb = emb / np.linalg.norm(emb)
+            fingerprints[key] = self._metadata(Path(path), emb)
         return fingerprints, failed
 
     # ------------------------------------------------------------------

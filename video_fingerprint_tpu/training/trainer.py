@@ -195,7 +195,15 @@ class Trainer:
         ) else None
         profiling = False
 
-        for batch in self.train_loader:
+        try:
+            from tqdm import tqdm
+
+            loader = tqdm(self.train_loader, desc=f"Epoch {self.epoch}",
+                          total=len(self.train_loader))
+        except ImportError:
+            loader = self.train_loader
+
+        for batch in loader:
             if profile_window and num_batches == profile_window[0]:
                 jax.profiler.start_trace(str(self.run_dir / "profile"))
                 profiling = True
@@ -216,12 +224,18 @@ class Trainer:
                     sums[k] = sums.get(k, 0.0) + float(v)
             num_batches += 1
 
+            lr = current_lr(
+                self.model_type, self.config["learning_rate"],
+                self.global_step, self.total_steps,
+                self.config["epochs"], max(1, len(self.train_loader)),
+            )
+            if hasattr(loader, "set_postfix"):
+                loader.set_postfix({
+                    "loss": f"{loss:.4f}", "acc": f"{acc:.3f}",
+                    "triplet": f"{float(metrics.get('loss_triplet', 0)):.3f}",
+                    "lr": f"{lr:.2e}", "time": f"{dt:.2f}s",
+                })
             if self.global_step % 10 == 0:
-                lr = current_lr(
-                    self.model_type, self.config["learning_rate"],
-                    self.global_step, self.total_steps,
-                    self.config["epochs"], max(1, len(self.train_loader)),
-                )
                 self.writer.add_scalar("Train/loss_step", loss, self.global_step)
                 self.writer.add_scalar("Train/acc_step", acc, self.global_step)
                 self.writer.add_scalar("Train/lr", lr, self.global_step)
