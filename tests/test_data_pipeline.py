@@ -1,0 +1,131 @@
+"""Data pipeline: determinism, sampler distributions, loader/bucket behavior."""
+
+import numpy as np
+import pytest
+
+
+def test_augmentations_deterministic_by_seed():
+    from video_fingerprint_tpu.data.augment import apply_augmentations
+
+    frames = [(np.random.default_rng(1).random((64, 64, 3)) * 255).astype(np.uint8)]
+    a = apply_augmentations(list(frames), np.random.default_rng(42), 64)
+    b = apply_augmentations(list(frames), np.random.default_rng(42), 64)
+    c = apply_augmentations(list(frames), np.random.default_rng(43), 64)
+    np.testing.assert_array_equal(a[0], b[0])
+    assert not np.array_equal(a[0], c[0])  # different seed -> different augs
+
+
+def test_augment_params_within_reference_ranges():
+    from video_fingerprint_tpu.data.augment import ClipAugmentParams
+
+    rng = np.random.default_rng(0)
+    n, hits = 2000, {"color": 0, "flip": 0, "noise": 0, "jpeg": 0, "blur": 0,
+                     "letterbox": 0, "overlay": 0, "rotation": 0}
+    for _ in range(n):
+        p = ClipAugmentParams.sample(rng, 64)
+        hits["color"] += p.do_color
+        hits["flip"] += p.do_flip
+        hits["noise"] += p.noise_level > 0
+        hits["jpeg"] += p.do_compression
+        hits["blur"] += p.blur_kernel > 0
+        hits["letterbox"] += p.do_letterbox
+        hits["overlay"] += p.do_overlay
+        hits["rotation"] += p.do_rotation
+        if p.do_color:
+            assert 0.5 <= p.brightness <= 1.5
+            assert abs(p.hue_shift) <= 0.1
+        if p.do_compression:
+            assert 30 <= p.jpeg_quality <= 90
+        if p.blur_kernel:
+            assert p.blur_kernel in (3, 5, 7)
+    # reference probabilities (dataset.py:250-257): .7/.5/.3/.5/.5/.3/.2/.2
+    for key, expect in [("color", .7), ("flip", .5), ("noise", .3), ("jpeg", .5),
+                        ("blur", .5), ("letterbox", .3), ("overlay", .2),
+                        ("rotation", .2)]:
+        assert abs(hits[key] / n - expect) < 0.05, (key, hits[key] / n)
+
+
+def test_extract_pair_distribution():
+    """Attention pair sampler: lengths >= ratio*n, ~1/3 exact overlaps
+    (dataset.py:355-401)."""
+    from video_fingerprint_tpu.data.pairs import sample_extract_pair
+
+    rng = np.random.default_rng(0)
+    n_frames, trials = 100, 3000
+    exact = 0
+    for _ in range(trials):
+        s1, s2 = sample_extract_pair(n_frames, rng, 0.5, train=True)
+        l1, l2 = s1.stop - s1.start, s2.stop - s2.start
+        assert 0 < l1 <= n_frames and 0 < l2 <= n_frames
+        assert 0 <= s1.start and s1.stop <= n_frames
+        assert 0 <= s2.start and s2.stop <= n_frames
+        assert l1 >= 50
+        if s1 == s2:
+            exact += 1
+    assert abs(exact / trials - 0.33) < 0.05
+
+
+def test_val_pair_is_full_plus_extract():
+    from video_fingerprint_tpu.data.pairs import sample_extract_pair
+
+    rng = np.random.default_rng(1)
+    s1, s2 = sample_extract_pair(80, rng, 0.5, train=False)
+    assert s1 == slice(0, 80)
+    assert (s2.stop - s2.start) >= 40
+
+
+def test_3d_pair_starts():
+    from video_fingerprint_tpu.data.pairs import sample_clip_pair_starts
+
+    rng = np.random.default_rng(2)
+    same = 0
+    trials = 2000
+    for _ in range(trials):
+        s1, s2 = sample_clip_pair_starts(500, 128, rng, train=True)
+        assert 0 <= s1 <= 372 and 0 <= s2 <= 372
+        if s1 == s2:
+            same += 1
+        else:
+            assert abs(s2 - s1) <= 128 // 3
+    assert abs(same / trials - 0.4) < 0.06  # 40% exact-same (dataset.py:467)
+
+
+def test_loader_buckets_and_masks(tmp_path):
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path, num_unique=4, num_frames=20, duplicates=0)
+    loader = create_dataloader(
+        str(tmp_path), batch_size=2, num_workers=2, max_frames=24,
+        mode="train", model_type="attention",
+    )
+    batches = list(loader)
+    assert len(batches) == 2  # 4 videos, batch 2, drop_last
+    for b in batches:
+        assert b["clip1"].shape[0] == 2
+        assert b["clip1"].shape[1] == b["clip2"].shape[1]  # shared bucket
+        assert b["clip1"].shape[1] in (16, 24)
+        # mask marks exactly the true lengths
+        for i in range(2):
+            t = int(b["mask1"][i].sum())
+            assert t > 0
+            assert not b["mask1"][i][t:].any()
+            np.testing.assert_array_equal(b["clip1"][i, t:], 0.0)
+
+
+def test_dataset_sample_deterministic(tmp_path):
+    from video_fingerprint_tpu.data.dataset import VideoFingerprintDataset
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path, num_unique=2, num_frames=16, duplicates=0)
+    ds1 = VideoFingerprintDataset(tmp_path, mode="train", model_type="attention",
+                                  seed=5, cache_videos=False)
+    ds2 = VideoFingerprintDataset(tmp_path, mode="train", model_type="attention",
+                                  seed=5, cache_videos=False)
+    a = ds1.get(0, epoch=3)
+    b = ds2.get(0, epoch=3)
+    np.testing.assert_array_equal(a["clip1"], b["clip1"])
+    c = ds1.get(0, epoch=4)
+    assert a["clip1"].shape != c["clip1"].shape or not np.array_equal(
+        a["clip1"], c["clip1"]
+    )

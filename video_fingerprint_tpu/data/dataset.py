@@ -149,8 +149,10 @@ class VideoFingerprintDataset:
         if self.augment:
             frames1 = aug.apply_augmentations(frames1, rng, self.frame_size)
             frames2 = aug.apply_augmentations(frames2, rng, self.frame_size)
-        clip1 = preprocess.frames_to_clip(frames1)
-        clip2 = preprocess.frames_to_clip(frames2)
+        # uint8 clips: normalization is fused on-device (train_step.py
+        # normalize_clip), quartering H2D bytes per batch.
+        clip1 = preprocess.frames_to_clip_u8(frames1)
+        clip2 = preprocess.frames_to_clip_u8(frames2)
         return {
             "clip1": clip1,
             "clip2": clip2,
@@ -256,7 +258,7 @@ class BucketedLoader:
         bucket = preprocess.bucket_for_length(max_t, self.buckets)
         for side in ("clip1", "clip2"):
             hwc = batch[0][side].shape[1:]
-            clips = np.zeros((B, bucket) + hwc, np.float32)
+            clips = np.zeros((B, bucket) + hwc, batch[0][side].dtype)
             masks = np.zeros((B, bucket), bool)
             for i, s in enumerate(batch):
                 t = min(s[side].shape[0], bucket)

@@ -53,11 +53,21 @@ def frames_to_clip(frames: Sequence[np.ndarray]) -> np.ndarray:
     return clip
 
 
-def preprocess_frames(frames: Sequence[np.ndarray], size: int) -> np.ndarray:
-    """Scan-time preprocess: resize+crop each frame, normalize, NHWC stack
-    (reference `_preprocess_frames`, fingerprint.py:186-214, minus the torch
-    permute — we stay channels-last)."""
-    return frames_to_clip([resize_short_side_center_crop(f, size) for f in frames])
+def frames_to_clip_u8(frames: Sequence[np.ndarray]) -> np.ndarray:
+    """uint8 RGB frame list -> (T, H, W, C) uint8. Normalization happens on
+    device (x/255 fused into the first conv), so host->device transfers move
+    4x fewer bytes — the H2D path is the scan bottleneck on tunneled TPUs."""
+    return np.stack(frames)
+
+
+def preprocess_frames(
+    frames: Sequence[np.ndarray], size: int, normalize: bool = True
+) -> np.ndarray:
+    """Scan-time preprocess: resize+crop each frame, NHWC stack, optional
+    host-side normalize (reference `_preprocess_frames`, fingerprint.py:
+    186-214, minus the torch permute — we stay channels-last)."""
+    resized = [resize_short_side_center_crop(f, size) for f in frames]
+    return frames_to_clip(resized) if normalize else frames_to_clip_u8(resized)
 
 
 def pad_clip_to(clip: np.ndarray, target_t: int) -> tuple[np.ndarray, np.ndarray]:

@@ -82,9 +82,17 @@ class FingerprintScanner:
             b for b in (buckets or SCAN_BUCKETS) if b < self.max_frames
         ) + (self.max_frames,)
 
-        self._fwd = jax.jit(partial(self.model.apply))
+        # inputs may be uint8: normalization (x/255) happens on device so the
+        # H2D transfer moves 4x fewer bytes (the scan bottleneck on tunneled
+        # or PCIe-attached accelerators).
+        def _norm(x):
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 255.0
+            return x
+
+        self._fwd = jax.jit(lambda v, x: self.model.apply(v, _norm(x)))
         self._fwd_masked = jax.jit(
-            lambda v, x, m: self.model.apply(v, x, mask=m)
+            lambda v, x, m: self.model.apply(v, _norm(x), mask=m)
         )
 
         print(f"Model loaded - Type: {self.model_type}, Device: {self.device.platform}")
@@ -248,7 +256,9 @@ class FingerprintScanner:
                             np.stack(frames), self.frame_size
                         )
                     else:
-                        clip = preprocess.preprocess_frames(frames, self.frame_size)
+                        clip = preprocess.preprocess_frames(
+                            frames, self.frame_size, normalize=False
+                        )
                     return (path, clip)
                 except Exception:
                     return (path, None)
@@ -269,7 +279,8 @@ class FingerprintScanner:
             if not items:
                 return
             B = self.batch_size
-            clips = np.zeros((B, bucket, self.frame_size, self.frame_size, 3), np.float32)
+            dtype = items[0][1].dtype  # uint8 (cv2 path) or float32 (native)
+            clips = np.zeros((B, bucket, self.frame_size, self.frame_size, 3), dtype)
             masks = np.zeros((B, bucket), bool)
             for i, (_, clip) in enumerate(items):
                 t = clip.shape[0]
@@ -336,7 +347,7 @@ class FingerprintScanner:
                     preprocess.square_center_crop_resize(f, self.frame_size)
                     for f in frames
                 ]
-                return preprocess.frames_to_clip(frames)
+                return preprocess.frames_to_clip_u8(frames)
             except Exception:
                 return None
 
@@ -362,7 +373,7 @@ class FingerprintScanner:
                 return
             arr = np.zeros(
                 (B, self.clip_length, self.frame_size, self.frame_size, 3),
-                np.float32,
+                np.uint8,
             )
             for i, c in enumerate(buf):
                 arr[i] = c

@@ -39,6 +39,14 @@ from video_fingerprint_tpu.ops.losses import (
 Array = jax.Array
 
 
+def normalize_clip(x: Array) -> Array:
+    """uint8 [0,255] -> f32 [0,1] on device; f32 passes through. Batches ship
+    as uint8 so host->device transfers move 4x fewer bytes."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -107,7 +115,8 @@ def make_train_step(
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         d_rng, e_rng1, e_rng2 = jax.random.split(rng, 3)
-        clip1, clip2 = batch["clip1"], batch["clip2"]
+        clip1 = normalize_clip(batch["clip1"])
+        clip2 = normalize_clip(batch["clip2"])
         B = clip1.shape[0]
         m1 = batch.get("mask1") if mask_padding else None
         m2 = batch.get("mask2") if mask_padding else None
@@ -199,7 +208,8 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
 
     def eval_step(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        clip1, clip2 = batch["clip1"], batch["clip2"]
+        clip1 = normalize_clip(batch["clip1"])
+        clip2 = normalize_clip(batch["clip2"])
         B = clip1.shape[0]
         m1 = batch.get("mask1") if mask_padding else None
         m2 = batch.get("mask2") if mask_padding else None

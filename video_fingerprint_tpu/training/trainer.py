@@ -300,7 +300,10 @@ class Trainer:
     def _extract_robustness(self, clip, mask) -> Dict[str, float]:
         """Center extracts at ratios {0.5..0.9}, cosine to full embedding
         (reference train.py:483-518)."""
+        from video_fingerprint_tpu.training.train_step import normalize_clip
+
         out = {}
+        clip = normalize_clip(clip)
         emb_full = self.model.apply(
             {"params": self.state.params, "batch_stats": self.state.batch_stats},
             clip, mask=mask,
