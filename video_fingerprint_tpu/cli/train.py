@@ -73,37 +73,32 @@ def main(argv=None) -> int:
     else:
         run_dir = setup_run_directory(prefix="3d_" if args.model == "3d" else "")
 
+    from video_fingerprint_tpu.config import Config
+
+    # derived-config rules from the reference: 3D doubles batch, triples LR
+    # (train.py:779-781).
     batch_size = args.batch_size if args.model == "attention" else args.batch_size * 2
     lr = args.lr if args.model == "attention" else args.lr * 3
 
-    config = {
-        "batch_size": batch_size,
-        "epochs": args.epochs,
-        "learning_rate": lr,
-        "lr_spatial": lr * 0.1,
-        "lr_attention": lr * 0.5,
-        "weight_decay": 1e-4,
-        "frame_size": 64,
-        "max_frames": args.max_frames,
-        "clip_length": args.clip_length,
-        "frame_stride": args.frame_stride,
-        "embedding_dim": 256,
-        "spatial_dim": 128,
-        "temporal_dim": 256,
-        "num_attention_blocks": 4,
-        "min_extract_ratio": 0.5,
-        "patience": args.patience,
-        "data_dir": str(args.data_dir),
-        "num_workers": args.num_workers,
-        "model_type": args.model,
-        "command_line": " ".join(sys.argv),
-        "triplet_weight": args.triplet_weight,
-        "triplet_margin": args.triplet_margin,
-        "device": args.device,
-        "seed": args.seed,
-        "mask_padding": not args.no_mask_padding,
-        "profile": args.profile,
-    }
+    config = Config(
+        batch_size=batch_size,
+        epochs=args.epochs,
+        learning_rate=lr,
+        max_frames=args.max_frames,
+        clip_length=args.clip_length,
+        frame_stride=args.frame_stride,
+        patience=args.patience,
+        data_dir=str(args.data_dir),
+        num_workers=args.num_workers,
+        model_type=args.model,
+        command_line=" ".join(sys.argv),
+        triplet_weight=args.triplet_weight,
+        triplet_margin=args.triplet_margin,
+        device=args.device,
+        seed=args.seed,
+        mask_padding=not args.no_mask_padding,
+        profile=args.profile,
+    ).to_dict()
 
     model = create_model(
         model_type=args.model,

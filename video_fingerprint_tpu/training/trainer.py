@@ -302,12 +302,14 @@ class Trainer:
         (reference train.py:483-518)."""
         from video_fingerprint_tpu.training.train_step import normalize_clip
 
+        if not hasattr(self, "_jit_fwd"):
+            self._jit_fwd = jax.jit(
+                lambda p, s, x, m: self.model.apply(
+                    {"params": p, "batch_stats": s}, normalize_clip(x), mask=m
+                )
+            )
         out = {}
-        clip = normalize_clip(clip)
-        emb_full = self.model.apply(
-            {"params": self.state.params, "batch_stats": self.state.batch_stats},
-            clip, mask=mask,
-        )
+        emb_full = self._jit_fwd(self.state.params, self.state.batch_stats, clip, mask)
         T = clip.shape[1]
         for ratio in (0.5, 0.6, 0.7, 0.8, 0.9):
             ext_len = int(T * ratio)
@@ -316,9 +318,8 @@ class Trainer:
             start = (T - ext_len) // 2
             sub = clip[:, start : start + ext_len]
             submask = mask[:, start : start + ext_len] if mask is not None else None
-            emb_ext = self.model.apply(
-                {"params": self.state.params, "batch_stats": self.state.batch_stats},
-                sub, mask=submask,
+            emb_ext = self._jit_fwd(
+                self.state.params, self.state.batch_stats, sub, submask
             )
             cos = jnp.mean(jnp.sum(emb_full * emb_ext, axis=1))
             out[f"extract_sim_{int(ratio * 100)}"] = float(cos)
