@@ -273,6 +273,16 @@ class FingerprintScanner:
         pending: Dict[int, list] = {b: [] for b in self.buckets}
         fingerprints: Dict[str, dict] = {}
         failed = 0
+        # one-deep pipeline: the previous batch's embeddings are read back
+        # only after the next batch has been dispatched, overlapping H2D +
+        # compute with readback (and with host-side decode via the queue).
+        inflight: list = []  # [(items, device_embeddings)]
+
+        def drain():
+            items, dev_embs = inflight.pop(0)
+            embs = np.asarray(dev_embs)
+            for i, (path, _) in enumerate(items):
+                fingerprints[str(path)] = self._metadata(path, embs[i])
 
         def flush(bucket: int):
             items = pending[bucket]
@@ -286,16 +296,15 @@ class FingerprintScanner:
                 t = clip.shape[0]
                 clips[i, :t] = clip
                 masks[i, :t] = True
-            embs = np.asarray(
-                self._fwd_masked(
-                    self.variables,
-                    jax.device_put(jnp.asarray(clips), self.device),
-                    jax.device_put(jnp.asarray(masks), self.device),
-                )
-            )
-            for i, (path, _) in enumerate(items):
-                fingerprints[str(path)] = self._metadata(path, embs[i])
+            dev_embs = self._fwd_masked(
+                self.variables,
+                jax.device_put(jnp.asarray(clips), self.device),
+                jax.device_put(jnp.asarray(masks), self.device),
+            )  # async dispatch
+            inflight.append((items, dev_embs))
             pending[bucket] = []
+            while len(inflight) > 1:
+                drain()
 
         while True:
             item = work.get()
@@ -311,6 +320,8 @@ class FingerprintScanner:
                 flush(bucket)
         for bucket in self.buckets:
             flush(bucket)
+        while inflight:
+            drain()
         return fingerprints, failed
 
     def _scan_batched_3d(self, video_paths: List[Path], num_workers: int):
