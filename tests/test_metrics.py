@@ -79,13 +79,12 @@ def test_retrieval_matches_oracle(data):
             hits.append(np.any(ids[topk] == ids[i]))
         assert float(m[f"R@{k}"]) == pytest.approx(np.mean(hits), abs=1e-6)
 
-    # mAP oracle (reference algorithm, train.py:466-479)
+    # mAP oracle = the reference algorithm verbatim (train.py:466-479):
+    # self sorts last (sim=-inf) but still counts as a positive.
     aps = []
     for i in range(len(e)):
         order = np.argsort(-sims[i])
         positives = ids[order] == ids[i]
-        # exclude self (at -inf, sorts last; also ids match so guard via count)
-        positives = positives & (order != i)
         if positives.sum() > 0:
             prec = np.cumsum(positives) / (np.arange(len(positives)) + 1)
             aps.append((prec * positives).sum() / positives.sum())

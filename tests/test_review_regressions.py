@@ -1,0 +1,124 @@
+"""Regressions for code-review findings (round-1 self-review)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_eval_step_3d_model_no_mask_crash():
+    """3D eval used to crash: eval_step passed mask= to a model without it."""
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.train_step import make_eval_step
+
+    model = create_model("3d", frame_stride=4)
+    B, T, hw = 2, 8, 32
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, T, hw, hw, 3)))
+    eval_step = jax.jit(make_eval_step(model, "3d"))
+    batch = {
+        "clip1": jax.random.uniform(jax.random.PRNGKey(1), (B, T, hw, hw, 3)),
+        "clip2": jax.random.uniform(jax.random.PRNGKey(2), (B, T, hw, hw, 3)),
+        "mask1": jnp.ones((B, T), bool),
+        "mask2": jnp.ones((B, T), bool),
+    }
+    out, emb1, emb2 = eval_step(
+        variables["params"], variables["batch_stats"], batch, jax.random.PRNGKey(3)
+    )
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_extracts_never_all_padding():
+    """A short clip in a large bucket must still yield extracts overlapping
+    real frames (start clamped to true length)."""
+    from video_fingerprint_tpu.training.train_step import (
+        sample_extract_lengths,
+        sample_extracts,
+    )
+
+    B, T = 4, 64
+    true_lengths = jnp.asarray([4, 8, 16, 64])
+    m = jnp.arange(T)[None, :] < true_lengths[:, None]
+    video = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :, None, None, None],
+        (B, T, 2, 2, 3),
+    )
+    for seed in range(8):
+        rng = jax.random.PRNGKey(seed)
+        k_len, k_ex = jax.random.split(rng)
+        lengths = sample_extract_lengths(k_len, B, T, 0.5)
+        _, exm, idx = sample_extracts(k_ex, video, lengths, jnp.sum(m, axis=1))
+        effective = exm & jnp.take_along_axis(m, idx, axis=1)
+        # every sample has at least one real frame in its extract
+        assert bool(jnp.all(jnp.sum(effective, axis=1) > 0)), seed
+
+
+def test_train_step_mixed_lengths_finite():
+    """End-to-end: mixed-length masked batch produces finite loss/grads."""
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.optim import make_optimizer
+    from video_fingerprint_tpu.training.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    model = create_model("attention")
+    B, T, hw = 4, 32, 32
+    state = init_train_state(model, None, jax.random.PRNGKey(0), (1, 8, hw, hw, 3))
+    tx = make_optimizer("attention", state.params, 1e-3, total_steps=10)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = jax.jit(make_train_step(model, tx, "attention"))
+
+    true_lengths = np.asarray([3, 8, 20, 32])
+    mask = np.arange(T)[None, :] < true_lengths[:, None]
+    clip = (np.random.default_rng(0).random((B, T, hw, hw, 3)) * 255).astype(np.uint8)
+    clip = clip * mask[:, :, None, None, None]
+    batch = {
+        "clip1": jnp.asarray(clip),
+        "clip2": jnp.asarray(clip),
+        "video_id": jnp.arange(B),
+        "mask1": jnp.asarray(mask),
+        "mask2": jnp.asarray(mask),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_temporal_conv_block_validates_kernel_count():
+    from video_fingerprint_tpu.models.layers import TemporalConvBlock
+
+    block = TemporalConvBlock(dim=256, kernel_sizes=(3, 5, 7))
+    with pytest.raises(ValueError, match="must divide"):
+        block.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 256)))
+
+
+def test_validate_partial_batch_multi_device(tmp_path):
+    """Val loader's trailing partial batch on a multi-device mesh."""
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.trainer import Trainer
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=5, num_frames=16, duplicates=0)
+    config = {
+        "batch_size": 4, "epochs": 1, "learning_rate": 1e-3,
+        "frame_size": 64, "max_frames": 16, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256, "min_extract_ratio": 0.5,
+        "model_type": "attention", "device": "cpu", "seed": 0,
+        "spatial_dim": 128, "temporal_dim": 256, "num_attention_blocks": 4,
+    }
+    model = create_model("attention")
+    train_loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=4, num_workers=0, max_frames=16,
+        mode="train", model_type="attention",
+    )
+    # 5 samples, batch 4, drop_last=False in val -> final batch of 1 row
+    val_loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=4, num_workers=0, max_frames=16,
+        mode="val", model_type="attention",
+    )
+    trainer = Trainer(model, train_loader, val_loader, config, tmp_path / "run")
+    assert trainer.dp.n == 4
+    metrics = trainer.validate()
+    assert np.isfinite(metrics["loss"])
+    assert "auc_roc" in metrics

@@ -157,7 +157,6 @@ class VideoFingerprintDataset:
             "clip1": clip1,
             "clip2": clip2,
             "video_id": np.int32(video_id),
-            "lengths": np.asarray([clip1.shape[0], clip2.shape[0]], np.int32),
         }
 
     def _get_attention(self, idx, rng):

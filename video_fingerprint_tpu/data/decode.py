@@ -147,10 +147,22 @@ def decode_clip(
     frames: List[np.ndarray] = []
     try:
         if backend == "pyav" and _HAS_AV:
+            # Correct pts-based seek. NB the reference passes a *frame index*
+            # to container.seek (dataset.py:169, fingerprint.py:142), which
+            # PyAV interprets in stream.time_base units — effectively always
+            # seeking to ~0s. We seek to the true timestamp and discard
+            # frames decoded before it (deliberate fix, documented).
             container = av.open(str(path))
             stream = container.streams.video[0]
-            container.seek(int(start_frame), stream=stream)
+            fps = float(stream.average_rate or 0)
+            target_pts = 0
+            if start_frame > 0 and fps > 0 and stream.time_base:
+                seconds = start_frame / fps
+                target_pts = int(seconds / stream.time_base)
+                container.seek(target_pts, stream=stream)
             for frame in container.decode(stream):
+                if frame.pts is not None and frame.pts < target_pts:
+                    continue
                 frames.append(frame.to_ndarray(format="rgb24"))
                 if len(frames) >= num_frames:
                     break

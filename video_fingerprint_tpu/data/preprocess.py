@@ -70,15 +70,6 @@ def preprocess_frames(
     return frames_to_clip(resized) if normalize else frames_to_clip_u8(resized)
 
 
-def pad_clip_to(clip: np.ndarray, target_t: int) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-pad (T,H,W,C) to (target_t,...) and return (clip, bool mask)."""
-    t = clip.shape[0]
-    mask = np.zeros((target_t,), dtype=bool)
-    mask[:t] = True
-    if t < target_t:
-        pad = np.zeros((target_t - t,) + clip.shape[1:], dtype=clip.dtype)
-        clip = np.concatenate([clip, pad], axis=0)
-    return clip, mask
 
 
 def bucket_for_length(t: int, buckets: Sequence[int]) -> int:

@@ -377,6 +377,13 @@ class FingerprintScanner:
         buf, buf_owner = [], []
         fingerprints: Dict[str, dict] = {}
         failed = 0
+        inflight: list = []  # one-deep pipeline, like _scan_batched
+
+        def drain():
+            batch_owners, dev_embs = inflight.pop(0)
+            embs = np.asarray(dev_embs)
+            for i, owner in enumerate(batch_owners):
+                per_video.setdefault(owner, []).append(embs[i])
 
         def flush():
             nonlocal buf, buf_owner
@@ -388,12 +395,13 @@ class FingerprintScanner:
             )
             for i, c in enumerate(buf):
                 arr[i] = c
-            embs = np.asarray(
-                fwd(self.variables, jax.device_put(jnp.asarray(arr), self.device))
-            )
-            for i, owner in enumerate(buf_owner):
-                per_video.setdefault(owner, []).append(embs[i])
+            dev_embs = fwd(
+                self.variables, jax.device_put(jnp.asarray(arr), self.device)
+            )  # async dispatch
+            inflight.append((list(buf_owner), dev_embs))
             buf, buf_owner = [], []
+            while len(inflight) > 1:
+                drain()
 
         with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
             for owner, clip in zip(owners, pool.map(load_window, jobs)):
@@ -405,6 +413,8 @@ class FingerprintScanner:
                 if len(buf) >= B:
                     flush()
         flush()
+        while inflight:
+            drain()
 
         for path, starts in plans:
             key = str(path)

@@ -360,17 +360,26 @@ class TemporalConvBlock(nn.Module):
     """Parallel grouped 1-D convs at several kernel sizes, concat on channels.
 
     Input/output: (B, T, C). Each branch maps C -> C/len(kernel_sizes) with
-    groups = C/len(kernel_sizes) (4 input channels per group), then BN + ReLU.
+    groups = C/len(kernel_sizes), so len(kernel_sizes) must divide `dim` and
+    the residual add requires the concat to reproduce `dim` exactly. The
+    fingerprint models use kernel_sizes=(3,5,7,11) with dim=256 (4 input
+    channels per group); the reference's own default [3,5,7] (model.py:158)
+    is incompatible with dim=256 and is not replicated here.
     """
 
     dim: int
-    kernel_sizes: Sequence[int] = (3, 5, 7)
+    kernel_sizes: Sequence[int] = (3, 5, 7, 11)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = len(self.kernel_sizes)
+        if self.dim % n != 0 or self.dim % (self.dim // n) != 0:
+            raise ValueError(
+                f"len(kernel_sizes)={n} must divide dim={self.dim} "
+                "(branches concat back to dim for the residual add)"
+            )
         branch_dim = self.dim // n
         outs = []
         for i, k in enumerate(self.kernel_sizes):

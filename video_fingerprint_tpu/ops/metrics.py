@@ -132,20 +132,17 @@ def retrieval_metrics(
         kk = min(k, kmax)
         metrics[f"R@{k}"] = jnp.mean(jnp.any(top_same[:, :kk], axis=1).astype(jnp.float32))
 
-    # mAP: sort each row descending; AP over rows with >=1 positive.
+    # mAP with the reference's exact semantics (train.py:466-479): self is
+    # masked to -inf so it sorts last, but its id still matches, i.e. every
+    # anchor has >= 1 "positive" (itself, at the worst rank) and the average
+    # runs over ALL anchors. Reproduced as-is for metric comparability.
     order = jnp.argsort(-sims, axis=1)
-    pos_sorted = jnp.take_along_axis(same, order, axis=1).astype(jnp.float32)
+    same_incl_self = video_ids[:, None] == video_ids[None, :]
+    pos_sorted = jnp.take_along_axis(same_incl_self, order, axis=1).astype(jnp.float32)
     ranks = jnp.arange(1, n + 1, dtype=jnp.float32)[None, :]
     cum_pos = jnp.cumsum(pos_sorted, axis=1)
     precisions = cum_pos / ranks
-    row_pos = jnp.sum(pos_sorted, axis=1)
-    ap = jnp.where(
-        row_pos > 0,
-        jnp.sum(precisions * pos_sorted, axis=1) / jnp.maximum(row_pos, 1.0),
-        0.0,
-    )
-    has_pos = (row_pos > 0).astype(jnp.float32)
-    metrics["mAP"] = jnp.where(
-        jnp.sum(has_pos) > 0, jnp.sum(ap) / jnp.maximum(jnp.sum(has_pos), 1.0), 0.0
-    )
+    row_pos = jnp.sum(pos_sorted, axis=1)  # >= 1 always (self)
+    ap = jnp.sum(precisions * pos_sorted, axis=1) / jnp.maximum(row_pos, 1.0)
+    metrics["mAP"] = jnp.mean(ap)
     return metrics

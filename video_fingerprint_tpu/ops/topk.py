@@ -48,8 +48,6 @@ def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
     n_blocks = n_pad // query_block
     q_blocks = queries.reshape(n_blocks, query_block, -1)
 
-    valid = jnp.arange(n) < n  # all true; kept for shape symmetry
-
     def block_topk(q):
         # HIGHEST: true-f32 matmul. Duplicate thresholds sit at 0.95-0.99;
         # default (bf16-ish) matmul precision injects ~1e-3 noise there.
@@ -60,7 +58,6 @@ def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
     scores, idx = jax.lax.map(block_topk, q_blocks)
     scores = scores.reshape(n_pad, k)[:n]
     idx = idx.reshape(n_pad, k)[:n]
-    del valid
     return scores, idx
 
 

@@ -69,22 +69,33 @@ def init_train_state(model, tx, rng, example_batch_shape) -> TrainState:
     )
 
 
+def sample_extract_lengths(rng: Array, B: int, T: int, extract_ratio: float) -> Array:
+    """One extract length per sample, shared by both extracts of the pair
+    (reference model.py:326 draws extract_len once per sample)."""
+    return jax.random.randint(rng, (B,), int(T * extract_ratio), T + 1)
+
+
 def sample_extracts(
-    rng: Array, video: Array, extract_ratio: float
-) -> Tuple[Array, Array]:
+    rng: Array,
+    video: Array,
+    lengths: Array,
+    true_lengths: Optional[Array] = None,
+) -> Tuple[Array, Array, Array]:
     """Vectorized version of the reference's per-sample extract loop
-    (model.py:325-341): one shared extract length per sample, independent
-    starts. Lengths/starts are sampled over the padded T exactly as the
-    reference does (it reads T from the padded batch, model.py:318).
+    (model.py:325-341): shared per-sample length, independent start.
+    Lengths/starts are sampled over the padded T as the reference does (it
+    reads T from the padded batch, model.py:318) — but when `true_lengths`
+    (real frame counts) are known, starts are clamped so every extract
+    overlaps at least one real frame; otherwise a short clip in a large
+    bucket could yield an all-padding extract and a degenerate embedding.
 
     Returns (extract (B,T,H,W,C) gathered from `start`, mask (B,T), idx (B,T)).
     """
     B, T = video.shape[0], video.shape[1]
-    k_len, k_start = jax.random.split(rng)
-    min_len = int(T * extract_ratio)
-    lengths = jax.random.randint(k_len, (B,), min_len, T + 1)
     max_start = T - lengths  # >= 0
-    u = jax.random.uniform(k_start, (B,))
+    if true_lengths is not None:
+        max_start = jnp.minimum(max_start, jnp.maximum(true_lengths - 1, 0))
+    u = jax.random.uniform(rng, (B,))
     starts = jnp.floor(u * (max_start + 1)).astype(jnp.int32)
 
     pos = jnp.arange(T)[None, :]  # (1, T)
@@ -122,8 +133,15 @@ def make_train_step(
         m2 = batch.get("mask2") if mask_padding else None
 
         if model_type == "attention":
-            ex1, exm1, idx1 = sample_extracts(e_rng1, clip1, extract_ratio)
-            ex2, exm2, idx2 = sample_extracts(e_rng2, clip2, extract_ratio)
+            B_, T_ = clip1.shape[0], clip1.shape[1]
+            k_len, e_rng1, e_rng2 = jax.random.split(e_rng1, 3)
+            # one shared extract length per sample (model.py:326), starts
+            # independent per side (model.py:329-330).
+            lengths = sample_extract_lengths(k_len, B_, T_, extract_ratio)
+            tl1 = jnp.sum(m1, axis=1) if m1 is not None else None
+            tl2 = jnp.sum(m2, axis=1) if m2 is not None else None
+            ex1, exm1, idx1 = sample_extracts(e_rng1, clip1, lengths, tl1)
+            ex2, exm2, idx2 = sample_extracts(e_rng2, clip2, lengths, tl2)
             if m1 is not None:
                 # extracted frame j came from original index idx[j]; it is
                 # valid only if it was a real (non-padding) frame there.
@@ -210,20 +228,28 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
         variables = {"params": params, "batch_stats": batch_stats}
         clip1 = normalize_clip(batch["clip1"])
         clip2 = normalize_clip(batch["clip2"])
-        B = clip1.shape[0]
-        m1 = batch.get("mask1") if mask_padding else None
-        m2 = batch.get("mask2") if mask_padding else None
+        B, T = clip1.shape[0], clip1.shape[1]
         fulls = jnp.concatenate([clip1, clip2], axis=0)
-        fmask = None
-        if m1 is not None and m2 is not None:
-            fmask = jnp.concatenate([m1, m2], axis=0)
-        emb = model.apply(variables, fulls, mask=fmask)
-        emb1, emb2 = emb[:B], emb[B:]
 
         if model_type == "attention":
-            e_rng1, e_rng2 = jax.random.split(rng)
-            ex1, exm1, _ = sample_extracts(e_rng1, clip1, 0.5)
-            ex2, exm2, _ = sample_extracts(e_rng2, clip2, 0.5)
+            m1 = batch.get("mask1") if mask_padding else None
+            m2 = batch.get("mask2") if mask_padding else None
+            fmask = None
+            if m1 is not None and m2 is not None:
+                fmask = jnp.concatenate([m1, m2], axis=0)
+            emb = model.apply(variables, fulls, mask=fmask)
+            emb1, emb2 = emb[:B], emb[B:]
+
+            k_len, e_rng1, e_rng2 = jax.random.split(rng, 3)
+            lengths = sample_extract_lengths(k_len, B, T, 0.5)
+            tl1 = jnp.sum(m1, axis=1) if m1 is not None else None
+            tl2 = jnp.sum(m2, axis=1) if m2 is not None else None
+            ex1, exm1, idx1 = sample_extracts(e_rng1, clip1, lengths, tl1)
+            ex2, exm2, idx2 = sample_extracts(e_rng2, clip2, lengths, tl2)
+            if m1 is not None:
+                exm1 = exm1 & jnp.take_along_axis(m1, idx1, axis=1)
+            if m2 is not None:
+                exm2 = exm2 & jnp.take_along_axis(m2, idx2, axis=1)
             exs = jnp.concatenate([ex1, ex2], axis=0)
             exmask = jnp.concatenate([exm1, exm2], axis=0)
             emb_ex = model.apply(variables, exs, mask=exmask)
@@ -232,6 +258,9 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
                 temperature=params["temperature"], video_ids=None,
             )
         else:
+            # the 3D model takes no mask (fixed clip_length windows)
+            emb = model.apply(variables, fulls)
+            emb1, emb2 = emb[:B], emb[B:]
             out = cnn3d_contrastive_loss(
                 emb1, emb2, temperature=params["temperature"], video_ids=None,
             )

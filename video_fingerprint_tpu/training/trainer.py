@@ -259,19 +259,28 @@ class Trainer:
 
         first_clip_batch = None
         for i, batch in enumerate(self.val_loader):
+            # the val loader keeps its last partial batch (drop_last=False,
+            # like the reference); pad rows by wraparound to stay divisible
+            # by the mesh and slice the embeddings back afterwards.
+            true_b = batch["clip1"].shape[0]
+            padded_b = self.dp.pad_batch_size(true_b)
+            if padded_b != true_b:
+                reps = np.arange(padded_b) % true_b
+                batch = {k: v[reps] for k, v in batch.items()}
             device_batch = self.dp.shard_batch(batch)
             out, emb1, emb2 = self.eval_step(
                 self.state.params, self.state.batch_stats,
                 {k: v for k, v in device_batch.items() if k != "video_id"},
                 jax.random.fold_in(rng, i),
             )
+            emb1, emb2 = emb1[:true_b], emb2[:true_b]
             for k, v in out.items():
                 if k.startswith("loss") or k == "acc":
                     sums[k] = sums.get(k, 0.0) + float(v)
             num_batches += 1
             all_embeddings.append(np.asarray(emb1))
             all_embeddings.append(np.asarray(emb2))
-            ids = np.asarray(batch["video_id"])
+            ids = np.asarray(batch["video_id"])[:true_b]
             all_video_ids.extend(ids.tolist() * 2)
             if first_clip_batch is None:
                 first_clip_batch = (device_batch["clip1"], device_batch.get("mask1"))
