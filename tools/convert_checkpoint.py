@@ -21,6 +21,10 @@ def main() -> int:
     parser.add_argument("output", help="output .ckpt path")
     args = parser.parse_args()
 
+    if not Path(args.input).exists():
+        print(f"Error: {args.input} does not exist")
+        return 1
+
     from video_fingerprint_tpu.training.checkpoint import save_checkpoint
     from video_fingerprint_tpu.utils.torch_compat import load_torch_checkpoint
 

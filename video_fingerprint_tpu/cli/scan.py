@@ -59,6 +59,10 @@ def main(argv=None) -> int:
     print("Starting video fingerprint scanner")
     print("=" * 80)
 
+    if not Path(args.model).exists():
+        print(f"Error: Model checkpoint {args.model} does not exist")
+        return 1
+
     scanner = FingerprintScanner(
         args.model, device=args.device, batch_size=args.batch,
         native_preprocess=args.native_preprocess,

@@ -140,6 +140,10 @@ def main(argv=None) -> int:
         print(f"No usable training batches found in {args.data_dir}")
         return 1
 
+    if args.checkpoint and not Path(args.checkpoint).exists():
+        print(f"Error: Checkpoint {args.checkpoint} does not exist")
+        return 1
+
     trainer = Trainer(model, train_loader, val_loader, config, run_dir)
     if args.checkpoint:
         trainer.resume(args.checkpoint)
