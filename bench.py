@@ -18,11 +18,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-B = 128        # device batch (amortizes the ~30ms dev-tunnel RTT per call)
+B = 512        # device batch (amortizes the ~30ms dev-tunnel RTT per call)
 T = 128        # frames per video
 HW = 64
 N_WARMUP = 2
-N_BATCHES = 8
+N_BATCHES = 4
 REF_VIDEOS = 3  # reference torch-CPU videos to time (slow)
 
 

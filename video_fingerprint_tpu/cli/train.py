@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "into <run_dir>/profile")
     p.add_argument("--debug_nans", action="store_true",
                    help="Enable jax_debug_nans (fail fast on NaNs)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize forward activations in the backward "
+                        "pass (jax.checkpoint): less HBM, one extra forward")
     return p
 
 
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         mask_padding=not args.no_mask_padding,
         profile=args.profile,
+        extras={"remat": args.remat},
     ).to_dict()
 
     model = create_model(

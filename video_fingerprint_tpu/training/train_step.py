@@ -116,15 +116,39 @@ def make_train_step(
     triplet_margin: float = 0.3,
     use_triplet: bool = True,
     mask_padding: bool = True,
+    remat: bool = False,
 ) -> Callable:
     """Build the fused train step: (state, batch, rng) -> (state, metrics).
 
     batch: {'clip1','clip2': (B,T,H,W,C) f32, 'video_id': (B,) i32,
             'mask1','mask2': (B,T) bool (optional)}
+
+    remat=True wraps each model forward in jax.checkpoint: activations are
+    recomputed in the backward pass instead of stored, cutting peak HBM
+    roughly by the conv stack's activation footprint (B*T frames) at the
+    cost of one extra forward — the standard lever for scaling batch/frames
+    per chip.
     """
 
+    def _fwd_train(params, batch_stats, x, mask, d_rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, mask=mask,
+            rngs={"dropout": d_rng}, mutable=["batch_stats"],
+        )
+
+    def _fwd_train_3d(params, batch_stats, x, d_rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True,
+            rngs={"dropout": d_rng}, mutable=["batch_stats"],
+        )
+
+    if remat:
+        _fwd_train = jax.checkpoint(_fwd_train)
+        _fwd_train_3d = jax.checkpoint(_fwd_train_3d)
+
     def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params, "batch_stats": batch_stats}
         d_rng, e_rng1, e_rng2 = jax.random.split(rng, 3)
         clip1 = normalize_clip(batch["clip1"])
         clip2 = normalize_clip(batch["clip2"])
@@ -153,18 +177,14 @@ def make_train_step(
             fmask = None
             if m1 is not None and m2 is not None:
                 fmask = jnp.concatenate([m1, m2], axis=0)
-            emb_full, mutated = model.apply(
-                variables, fulls, train=True, mask=fmask,
-                rngs={"dropout": jax.random.fold_in(d_rng, 0)},
-                mutable=["batch_stats"],
+            emb_full, mutated = _fwd_train(
+                params, batch_stats, fulls, fmask, jax.random.fold_in(d_rng, 0)
             )
-            variables = {"params": params, "batch_stats": mutated["batch_stats"]}
             exs = jnp.concatenate([ex1, ex2], axis=0)
             exmask = jnp.concatenate([exm1, exm2], axis=0)
-            emb_ex, mutated = model.apply(
-                variables, exs, train=True, mask=exmask,
-                rngs={"dropout": jax.random.fold_in(d_rng, 1)},
-                mutable=["batch_stats"],
+            emb_ex, mutated = _fwd_train(
+                params, mutated["batch_stats"], exs, exmask,
+                jax.random.fold_in(d_rng, 1),
             )
             out = attention_contrastive_loss(
                 emb_full[:B], emb_full[B:], emb_ex[:B], emb_ex[B:],
@@ -177,11 +197,7 @@ def make_train_step(
             emb1, emb2 = emb_full[:B], emb_full[B:]
         else:
             both = jnp.concatenate([clip1, clip2], axis=0)
-            emb, mutated = model.apply(
-                variables, both, train=True,
-                rngs={"dropout": d_rng},
-                mutable=["batch_stats"],
-            )
+            emb, mutated = _fwd_train_3d(params, batch_stats, both, d_rng)
             emb1, emb2 = emb[:B], emb[B:]
             out = cnn3d_contrastive_loss(
                 emb1, emb2,

@@ -120,6 +120,7 @@ class Trainer:
                 triplet_weight=config.get("triplet_weight", 0.3),
                 triplet_margin=config.get("triplet_margin", 0.3),
                 mask_padding=config.get("mask_padding", True),
+                remat=config.get("remat", False),
             ),
             donate_argnums=(0,),
         )
