@@ -92,3 +92,64 @@ def test_convert_cli_roundtrip(torch_ckpt, tmp_path):
     )
     cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
     assert cos > 0.9999, cos
+
+
+def test_export_roundtrip_to_reference(tmp_path):
+    """Our .ckpt -> reference .pth: the ORIGINAL torch model must load the
+    exported state_dict (strict) and agree to cosine > 0.9999."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+    from video_fingerprint_tpu.utils.torch_compat import (
+        attention_variables_to_state_dict,
+    )
+
+    model = create_model("attention")
+    variables = model.init(jax.random.PRNGKey(11), jnp.zeros((1, 4, 64, 64, 3)))
+    sd_np = attention_variables_to_state_dict(variables)
+
+    sys.path.insert(0, str(REFERENCE))
+    import model as ref
+
+    m = ref.create_model("attention")
+    sd = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    assert not unexpected
+    assert all(k == "pos_encoding.pe" for k in missing)  # recomputed buffer
+    m.eval()
+
+    video = np.random.default_rng(3).random((1, 12, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = m(torch.from_numpy(video)).numpy()
+    ours = np.asarray(
+        jax.jit(model.apply)(variables, jnp.asarray(video).transpose(0, 1, 3, 4, 2))
+    )
+    cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
+    assert cos > 0.9999, cos
+
+
+def test_export_cli(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+
+    model = create_model("attention")
+    variables = model.init(jax.random.PRNGKey(12), jnp.zeros((1, 4, 64, 64, 3)))
+    src = tmp_path / "ours.ckpt"
+    save_checkpoint(src, variables["params"], variables["batch_stats"],
+                    {"model_type": "attention", "embedding_dim": 256},
+                    epoch=2, global_step=7)
+    dst = tmp_path / "exported.pth"
+    subprocess.run(
+        [sys.executable, str(REPO_ROOT / "tools" / "export_torch_checkpoint.py"),
+         str(src), str(dst)],
+        check=True, capture_output=True, timeout=300,
+    )
+    ckpt = torch.load(dst, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 2 and ckpt["global_step"] == 7
+    assert ckpt["config"]["model_type"] == "attention"
+    assert "spatial_encoder.encoder.0.weight" in ckpt["model_state_dict"]

@@ -151,6 +151,72 @@ def state_dict_to_variables(sd: Mapping[str, np.ndarray], model_type: str) -> Di
     raise ValueError(f"Unknown model type: {model_type}")
 
 
+def _get(tree, path: str):
+    node = tree
+    for p in path.split("/"):
+        node = node[p]
+    return np.asarray(node)
+
+
+def attention_variables_to_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Reverse conversion: flax variables -> reference state_dict layout, so
+    checkpoints trained here can be served by the original PyTorch scanner."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(our_path, torch_key):
+        sd[f"{torch_key}.weight"] = _t(_get(params, f"{our_path}/dense/kernel"))
+        sd[f"{torch_key}.bias"] = _get(params, f"{our_path}/dense/bias")
+
+    def put_bn(our_path, torch_key):
+        sd[f"{torch_key}.weight"] = _get(params, f"{our_path}/scale")
+        sd[f"{torch_key}.bias"] = _get(params, f"{our_path}/bias")
+        sd[f"{torch_key}.running_mean"] = _get(stats, f"{our_path}/mean")
+        sd[f"{torch_key}.running_var"] = _get(stats, f"{our_path}/var")
+        sd[f"{torch_key}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for i, (conv_idx, bn_idx) in enumerate([(0, 1), (3, 4), (6, 7), (9, 10)]):
+        w = _get(params, f"spatial_encoder/conv{i}/conv/kernel")
+        sd[f"spatial_encoder.encoder.{conv_idx}.weight"] = np.transpose(w, (3, 2, 0, 1))
+        sd[f"spatial_encoder.encoder.{conv_idx}.bias"] = _get(
+            params, f"spatial_encoder/conv{i}/conv/bias")
+        put_bn(f"spatial_encoder/bn{i}", f"spatial_encoder.encoder.{bn_idx}")
+    put_linear("spatial_encoder/proj", "spatial_encoder.encoder.14")
+    put_linear("temporal_projection", "temporal_projection")
+
+    for b in range(2):
+        for j in range(4):
+            op = f"temporal_conv_blocks_{b}"
+            tk = f"temporal_conv_blocks.{b}.convs.{j}"
+            w = _get(params, f"{op}/conv{j}/conv/kernel")  # (k, in/g, out)
+            sd[f"{tk}.0.weight"] = np.transpose(w, (2, 1, 0))
+            sd[f"{tk}.0.bias"] = _get(params, f"{op}/conv{j}/conv/bias")
+            put_bn(f"{op}/bn{j}", f"{tk}.1")
+
+    n_blocks = len([k for k in params if k.startswith("attention_blocks_")])
+    for i in range(n_blocks):
+        op = f"attention_blocks_{i}"
+        tk = f"attention_blocks.{i}"
+        for norm in ("norm1", "norm2"):
+            sd[f"{tk}.{norm}.weight"] = _get(params, f"{op}/{norm}/scale")
+            sd[f"{tk}.{norm}.bias"] = _get(params, f"{op}/{norm}/bias")
+        sd[f"{tk}.attn.in_proj_weight"] = _t(_get(params, f"{op}/attn/in_proj_kernel"))
+        sd[f"{tk}.attn.in_proj_bias"] = _get(params, f"{op}/attn/in_proj_bias")
+        put_linear(f"{op}/attn/out_proj", f"{tk}.attn.out_proj")
+        for conv in ("conv1", "conv2"):
+            w = _t(_get(params, f"{op}/{conv}/dense/kernel"))  # (out, in)
+            sd[f"{tk}.{conv}.weight"] = w[:, :, None]  # conv1d k=1
+            sd[f"{tk}.{conv}.bias"] = _get(params, f"{op}/{conv}/dense/bias")
+
+    w = _t(_get(params, "temporal_pool/dense/kernel"))
+    sd["temporal_pool.0.weight"] = w[:, :, None]
+    sd["temporal_pool.0.bias"] = _get(params, "temporal_pool/dense/bias")
+    put_linear("final_projection_1", "final_projection.0")
+    put_linear("final_projection_2", "final_projection.3")
+    sd["temperature"] = _get(params, "temperature")
+    return sd
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference `.pth` checkpoint -> (variables, config dict).
 
