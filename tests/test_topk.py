@@ -59,3 +59,29 @@ def test_sharded_topk_small_corpus():
     scores, idx = sharded_topk_cosine(e, k=5, mesh=make_mesh("corpus"), query_block=8)
     o_scores, _ = _oracle(e, 5)
     np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
+
+
+def test_fingerprint_index_api(tmp_path, embeddings):
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    index = FingerprintIndex(dim=64)
+    index.add(embeddings[:200])
+    index.add(embeddings[200:])  # incremental add
+    assert len(index) == len(embeddings)
+
+    queries = embeddings[:10]
+    scores, idx = index.search(queries, k=5)
+    o_scores, _ = _oracle(embeddings, 5)
+    np.testing.assert_allclose(scores, o_scores[:10], atol=1e-5)
+
+    p = tmp_path / "index.npz"
+    index.save(p)
+    loaded = FingerprintIndex.load(p)
+    s2, i2 = loaded.search(queries, k=5)
+    np.testing.assert_allclose(s2, scores, atol=1e-6)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        FingerprintIndex(dim=64).search(queries, k=5)  # empty index
+    with _pytest.raises(ValueError):
+        index.add(np.zeros((3, 7), np.float32))  # wrong dim

@@ -40,25 +40,28 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
 
 
 @partial(jax.jit, static_argnames=("k", "query_block"))
-def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
-    """(N, D) embeddings -> (scores (N, k), indices (N, k)) by inner product."""
-    n = embeddings.shape[0]
-    corpus = embeddings.astype(jnp.float32)
-    queries, n_pad = _pad_rows(corpus, query_block)
-    n_blocks = n_pad // query_block
-    q_blocks = queries.reshape(n_blocks, query_block, -1)
+def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024):
+    """Inner-product k-NN: (M, D) queries x (N, D) corpus ->
+    (scores (M, k), indices (M, k))."""
+    m = queries.shape[0]
+    corpus = corpus.astype(jnp.float32)
+    q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
+    q_blocks = q.reshape(m_pad // query_block, query_block, -1)
 
-    def block_topk(q):
+    def block_topk(qb):
         # HIGHEST: true-f32 matmul. Duplicate thresholds sit at 0.95-0.99;
         # default (bf16-ish) matmul precision injects ~1e-3 noise there.
-        sims = jnp.dot(q, corpus.T, precision=jax.lax.Precision.HIGHEST,
+        sims = jnp.dot(qb, corpus.T, precision=jax.lax.Precision.HIGHEST,
                        preferred_element_type=jnp.float32)
         return jax.lax.top_k(sims, k)
 
     scores, idx = jax.lax.map(block_topk, q_blocks)
-    scores = scores.reshape(n_pad, k)[:n]
-    idx = idx.reshape(n_pad, k)[:n]
-    return scores, idx
+    return scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m]
+
+
+def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
+    """Self-search: (N, D) embeddings -> (scores (N, k), indices (N, k))."""
+    return topk_search(embeddings, embeddings, k, query_block=query_block)
 
 
 def sharded_topk_cosine(
