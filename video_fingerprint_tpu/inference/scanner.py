@@ -48,6 +48,7 @@ class FingerprintScanner:
         batch_size: int = 8,
         buckets: Optional[Sequence[int]] = None,
         native_preprocess: bool = False,
+        bf16: bool = False,
     ):
         self.batch_size = batch_size
         self.device = _pick_device(device)
@@ -71,6 +72,7 @@ class FingerprintScanner:
         self.embedding_dim = self.config.get("embedding_dim", 256)
 
         self.model = create_model(
+            dtype=jnp.bfloat16 if bf16 else None,
             model_type=self.model_type,
             spatial_dim=self.config.get("spatial_dim", 128),
             temporal_dim=self.config.get("temporal_dim", 256),
