@@ -78,6 +78,16 @@ def test_attention_segment_averaging_quirk(monkeypatch, tmp_path):
     monkeypatch.setattr(decode, "decode_subsampled", lambda *a, **k: frames)
     emb = sc._extract_attention(tmp_path / "fake.mp4", num_segments=3)
     assert emb is not None
-    # mean of 3 distinct unit vectors: norm strictly < 1, NOT re-normalized
-    norm = float(np.linalg.norm(emb))
-    assert norm < 0.99999, norm
+
+    # pin the exact semantics: mean over the 3 evenly-spaced segments'
+    # embeddings, with NO re-normalization applied afterwards.
+    from video_fingerprint_tpu.data import preprocess
+
+    seg_len = min(16, len(frames) // 3)
+    expected_segs = []
+    for i in range(3):
+        start = i * (len(frames) - seg_len) // 2
+        clip = preprocess.preprocess_frames(frames[start : start + seg_len], 64)
+        expected_segs.append(sc._embed_clip(clip))
+    expected = np.mean(np.stack(expected_segs), axis=0)
+    np.testing.assert_allclose(emb, expected, atol=1e-6)
