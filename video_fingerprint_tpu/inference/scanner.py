@@ -449,7 +449,13 @@ class FingerprintScanner:
         fingerprints: Dict[str, dict],
         similarity_threshold: float = 0.95,
         topk_threshold: int = 100,
+        use_faiss: bool = True,
     ) -> List[List[dict]]:
+        """use_faiss is the reference's parameter name (fingerprint.py:454);
+        here it gates the on-TPU top-k path the same way it gated FAISS
+        (False forces the full all-pairs matrix)."""
+        if not use_faiss:
+            topk_threshold = 1 << 60
         if len(fingerprints) < 2:
             return []
 
