@@ -153,3 +153,35 @@ def test_export_cli(tmp_path):
     assert ckpt["epoch"] == 2 and ckpt["global_step"] == 7
     assert ckpt["config"]["model_type"] == "attention"
     assert "spatial_encoder.encoder.0.weight" in ckpt["model_state_dict"]
+
+
+def test_export_3d_roundtrip_to_reference():
+    """3D model: our variables load strict into the ORIGINAL torch model and
+    agree to cosine > 0.9999."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.utils.torch_compat import variables_to_state_dict
+
+    model = create_model("3d", frame_stride=16)
+    variables = model.init(jax.random.PRNGKey(21), jnp.zeros((1, 16, 64, 64, 3)))
+    sd_np = variables_to_state_dict(variables, "3d")
+
+    sys.path.insert(0, str(REFERENCE))
+    import model as ref
+
+    m = ref.create_model("3d", frame_stride=16)
+    missing, unexpected = m.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}, strict=True
+    ), None
+    m.eval()
+
+    video = np.random.default_rng(5).random((1, 48, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = m(torch.from_numpy(video)).numpy()
+    ours = np.asarray(
+        jax.jit(model.apply)(variables, jnp.asarray(video).transpose(0, 1, 3, 4, 2))
+    )
+    cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
+    assert cos > 0.9999, cos

@@ -2,8 +2,7 @@
 
 The produced file loads directly in the original scanner
 (`fingerprint.py --model exported.pth`) — bidirectional interop with the
-reference ecosystem. Attention model only (the 3D reverse map is symmetric
-and can be added on demand).
+reference ecosystem for both model families.
 
 Usage: python tools/export_torch_checkpoint.py input.ckpt output.pth
 """
@@ -30,17 +29,13 @@ def main() -> int:
     import torch
 
     from video_fingerprint_tpu.training.checkpoint import load_checkpoint
-    from video_fingerprint_tpu.utils.torch_compat import (
-        attention_variables_to_state_dict,
-    )
+    from video_fingerprint_tpu.utils.torch_compat import variables_to_state_dict
 
     payload = load_checkpoint(args.input)
     config = payload["config"]
-    if config.get("model_type", "attention") != "attention":
-        print("Error: only attention-model export is supported")
-        return 1
-
-    sd_np = attention_variables_to_state_dict(payload["model"])
+    sd_np = variables_to_state_dict(
+        payload["model"], config.get("model_type", "attention")
+    )
     sd = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
     train = payload.get("train", {})
     ckpt = {

@@ -46,6 +46,18 @@ class DataParallel:
         self.batch_sharding = NamedSharding(self.mesh, P(axis_name))
 
     def shard_batch(self, batch: dict) -> dict:
+        """Place a batch on the mesh.
+
+        Single-process: the batch is the global batch; device_put splits it.
+        Multi-process: each process passes ITS per-host shard (the dataset
+        index is already host-sharded) and the global array is assembled
+        from process-local data — the standard multi-host input pattern.
+        """
+        if jax.process_count() > 1:
+            return {
+                k: jax.make_array_from_process_local_data(self.batch_sharding, v)
+                for k, v in batch.items()
+            }
         return {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
 
     def replicate(self, tree):

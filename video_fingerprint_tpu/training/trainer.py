@@ -258,7 +258,8 @@ class Trainer:
         all_video_ids = []
         rng = jax.random.PRNGKey(1234)
 
-        first_clip_batch = None
+        robustness_batches = []  # up to ~50 samples (reference train.py:483-491)
+        robustness_budget = 50
         for i, batch in enumerate(self.val_loader):
             # the val loader keeps its last partial batch (drop_last=False,
             # like the reference); pad rows by wraparound to stay divisible
@@ -283,8 +284,11 @@ class Trainer:
             all_embeddings.append(np.asarray(emb2))
             ids = np.asarray(batch["video_id"])[:true_b]
             all_video_ids.extend(ids.tolist() * 2)
-            if first_clip_batch is None:
-                first_clip_batch = (device_batch["clip1"], device_batch.get("mask1"))
+            if robustness_budget > 0 and self.model_type == "attention":
+                robustness_batches.append(
+                    (device_batch["clip1"], device_batch.get("mask1"))
+                )
+                robustness_budget -= device_batch["clip1"].shape[0]
 
         metrics = {k: v / max(1, num_batches) for k, v in sums.items()}
         if not all_embeddings:
@@ -303,13 +307,14 @@ class Trainer:
         d = discrimination_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
         metrics.update({k: float(v) for k, v in d.items()})
 
-        if self.model_type == "attention" and first_clip_batch is not None:
-            metrics.update(self._extract_robustness(*first_clip_batch))
+        if self.model_type == "attention" and robustness_batches:
+            metrics.update(self._extract_robustness(robustness_batches))
         return metrics
 
-    def _extract_robustness(self, clip, mask) -> Dict[str, float]:
-        """Center extracts at ratios {0.5..0.9}, cosine to full embedding
-        (reference train.py:483-518)."""
+    def _extract_robustness(self, batches) -> Dict[str, float]:
+        """Center extracts at ratios {0.5..0.9}, cosine to the full-video
+        embedding, averaged over up to ~50 val samples (reference
+        train.py:483-518)."""
         from video_fingerprint_tpu.training.train_step import normalize_clip
 
         if not hasattr(self, "_jit_fwd"):
@@ -318,22 +323,27 @@ class Trainer:
                     {"params": p, "batch_stats": s}, normalize_clip(x), mask=m
                 )
             )
-        out = {}
-        emb_full = self._jit_fwd(self.state.params, self.state.batch_stats, clip, mask)
-        T = clip.shape[1]
-        for ratio in (0.5, 0.6, 0.7, 0.8, 0.9):
-            ext_len = int(T * ratio)
-            if ext_len >= T or ext_len < 1:
-                continue
-            start = (T - ext_len) // 2
-            sub = clip[:, start : start + ext_len]
-            submask = mask[:, start : start + ext_len] if mask is not None else None
-            emb_ext = self._jit_fwd(
-                self.state.params, self.state.batch_stats, sub, submask
+        sums: Dict[str, list] = {}
+        for clip, mask in batches:
+            emb_full = self._jit_fwd(
+                self.state.params, self.state.batch_stats, clip, mask
             )
-            cos = jnp.mean(jnp.sum(emb_full * emb_ext, axis=1))
-            out[f"extract_sim_{int(ratio * 100)}"] = float(cos)
-        return out
+            T = clip.shape[1]
+            for ratio in (0.5, 0.6, 0.7, 0.8, 0.9):
+                ext_len = int(T * ratio)
+                if ext_len >= T or ext_len < 1:
+                    continue
+                start = (T - ext_len) // 2
+                sub = clip[:, start : start + ext_len]
+                submask = (
+                    mask[:, start : start + ext_len] if mask is not None else None
+                )
+                emb_ext = self._jit_fwd(
+                    self.state.params, self.state.batch_stats, sub, submask
+                )
+                cos = float(jnp.mean(jnp.sum(emb_full * emb_ext, axis=1)))
+                sums.setdefault(f"extract_sim_{int(ratio * 100)}", []).append(cos)
+        return {k: float(np.mean(v)) for k, v in sums.items()}
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, is_best: bool = False, metrics: Optional[Dict] = None):

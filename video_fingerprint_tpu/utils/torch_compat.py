@@ -217,6 +217,41 @@ def attention_variables_to_state_dict(variables) -> Dict[str, np.ndarray]:
     return sd
 
 
+def cnn3d_variables_to_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Reverse conversion for VideoFingerprint3D (model.py:406-512 layout)."""
+    params, stats = variables["params"], variables["batch_stats"]
+    sd: Dict[str, np.ndarray] = {}
+
+    for i in range(4):
+        w = _get(params, f"block{i}/conv/conv/kernel")  # (kd,kh,kw,in,out)
+        sd[f"encoder.{i}.conv.weight"] = np.transpose(w, (4, 3, 0, 1, 2))
+        sd[f"encoder.{i}.conv.bias"] = _get(params, f"block{i}/conv/conv/bias")
+        sd[f"encoder.{i}.bn.weight"] = _get(params, f"block{i}/bn/scale")
+        sd[f"encoder.{i}.bn.bias"] = _get(params, f"block{i}/bn/bias")
+        sd[f"encoder.{i}.bn.running_mean"] = _get(stats, f"block{i}/bn/mean")
+        sd[f"encoder.{i}.bn.running_var"] = _get(stats, f"block{i}/bn/var")
+        sd[f"encoder.{i}.bn.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    for name in ("temporal_conv", "temporal_attention"):
+        w = _get(params, f"{name}/conv/kernel")  # (k, in, out)
+        sd[f"{name}.weight"] = np.transpose(w, (2, 1, 0))
+        sd[f"{name}.bias"] = _get(params, f"{name}/conv/bias")
+
+    for our, torch_key in (("projector_1", "projector.0"), ("projector_2", "projector.3")):
+        sd[f"{torch_key}.weight"] = _t(_get(params, f"{our}/dense/kernel"))
+        sd[f"{torch_key}.bias"] = _get(params, f"{our}/dense/bias")
+    sd["temperature"] = _get(params, "temperature")
+    return sd
+
+
+def variables_to_state_dict(variables, model_type: str) -> Dict[str, np.ndarray]:
+    if model_type == "attention":
+        return attention_variables_to_state_dict(variables)
+    if model_type in ("3d", "cnn3d"):
+        return cnn3d_variables_to_state_dict(variables)
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
 def load_torch_checkpoint(path: str):
     """Load a reference `.pth` checkpoint -> (variables, config dict).
 
