@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Disable bucketed batching (sequential batch=1)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (cosine vs f32 ~0.99998)")
+    parser.add_argument("--native_decode", action="store_true",
+                        help="Use the C++ libav decode worker (fused decode+"
+                             "scale+crop; cv2 remains the default)")
     parser.add_argument("--native_preprocess", action="store_true",
                         help="Use the C++ host preprocess runtime (fast path; "
                              "cv2 remains the bit-exact default)")
@@ -67,7 +70,8 @@ def main(argv=None) -> int:
 
     scanner = FingerprintScanner(
         args.model, device=args.device, batch_size=args.batch,
-        native_preprocess=args.native_preprocess, bf16=args.bf16,
+        native_preprocess=args.native_preprocess,
+        native_decode=args.native_decode, bf16=args.bf16,
     )
 
     video_dir = Path(args.scan)

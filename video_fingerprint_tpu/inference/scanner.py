@@ -48,6 +48,7 @@ class FingerprintScanner:
         batch_size: int = 8,
         buckets: Optional[Sequence[int]] = None,
         native_preprocess: bool = False,
+        native_decode: bool = False,
         bf16: bool = False,
     ):
         self.batch_size = batch_size
@@ -59,6 +60,13 @@ class FingerprintScanner:
             self.native_preprocess = native.available()
             if not self.native_preprocess:
                 print("native preprocess requested but unavailable; using cv2")
+        self.native_decode = False
+        if native_decode:
+            from video_fingerprint_tpu.utils import native_decode as nd
+
+            self.native_decode = nd.available()
+            if not self.native_decode:
+                print("native decode requested but unavailable; using cv2")
 
         print(f"Loading model from {model_path}...")
         self.variables, self.config = load_any(model_path)
@@ -248,6 +256,14 @@ class FingerprintScanner:
         def producer():
             def load(path):
                 try:
+                    if self.native_decode:
+                        # fused C++ demux->decode->scale->crop, no full-res RGB
+                        from video_fingerprint_tpu.utils import native_decode as nd
+
+                        clip = nd.decode_scan(path, self.max_frames, self.frame_size)
+                        if clip is None or clip.shape[0] < 10:
+                            return (path, None)
+                        return (path, clip)
                     frames = decode.decode_subsampled(path, self.max_frames)
                     if len(frames) < 10:
                         return (path, None)
@@ -355,6 +371,11 @@ class FingerprintScanner:
         def load_window(job):
             path, start = job
             try:
+                if self.native_decode:
+                    from video_fingerprint_tpu.utils import native_decode as nd
+
+                    return nd.decode_clip(path, start, self.clip_length,
+                                          self.frame_size)
                 frames = decode.decode_clip(path, start, self.clip_length)
                 frames = [
                     preprocess.square_center_crop_resize(f, self.frame_size)
