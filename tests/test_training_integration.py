@@ -102,3 +102,38 @@ def test_scanner_loads_trained_checkpoint(run_dir, corpus):
     assert len(fps) == 4
     for meta in fps.values():
         assert abs(meta["embedding_norm"] - 1.0) < 1e-3
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: save -> load_any -> scanner-compatible variables."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import (
+        load_any,
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    model = create_model("attention")
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)))
+    config = {"model_type": "attention", "frame_size": 64, "max_frames": 100}
+    path = tmp_path / "orbax_ckpt"
+    save_checkpoint_orbax(
+        path, variables["params"], variables["batch_stats"], config,
+        epoch=4, global_step=17, bests={"best_auc_roc": 0.7},
+    )
+    assert path.is_dir()
+
+    payload = load_checkpoint_orbax(path)
+    assert payload["config"]["max_frames"] == 100
+    assert payload["train"]["epoch"] == 4
+    assert payload["train"]["bests"]["best_auc_roc"] == pytest.approx(0.7)
+
+    loaded_vars, cfg = load_any(path)
+    video = jax.random.uniform(jax.random.PRNGKey(1), (1, 6, 64, 64, 3))
+    a = model.apply(variables, video)
+    b = model.apply(loaded_vars, video)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32); cosine vs the "
                         "f32 reference measured at 0.99998")
+    p.add_argument("--orbax", action="store_true",
+                   help="Use the Orbax checkpoint backend (directory-based, "
+                        "multi-host-safe) instead of single-file msgpack")
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize forward activations in the backward "
                         "pass (jax.checkpoint): less HBM, one extra forward")
@@ -104,7 +107,8 @@ def main(argv=None) -> int:
         seed=args.seed,
         mask_padding=not args.no_mask_padding,
         profile=args.profile,
-        extras={"remat": args.remat, "bf16": args.bf16},
+        extras={"remat": args.remat, "bf16": args.bf16,
+                "checkpoint_backend": "orbax" if args.orbax else "msgpack"},
     ).to_dict()
 
     import jax.numpy as jnp

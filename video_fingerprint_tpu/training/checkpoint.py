@@ -74,17 +74,64 @@ def load_checkpoint(path: Path | str) -> Dict[str, Any]:
     return payload
 
 
-def load_any(path: Path | str) -> Tuple[Dict, Dict[str, Any]]:
-    """Load ours (.ckpt) or a reference torch checkpoint (.pth).
+def save_checkpoint_orbax(
+    path: Path | str,
+    params,
+    batch_stats,
+    config: Dict[str, Any],
+    opt_state_sd: Optional[Dict] = None,
+    epoch: int = 0,
+    global_step: int = 0,
+    bests: Optional[Dict[str, float]] = None,
+    metrics: Optional[Dict] = None,
+) -> None:
+    """Orbax backend: directory-based PyTree checkpoint (multi-host-safe
+    writes, per-array files). Same payload schema as the msgpack format."""
+    import orbax.checkpoint as ocp
 
-    Returns (variables={'params','batch_stats'}, config).
+    payload = {
+        "model": {
+            "params": _to_numpy_tree(params),
+            "batch_stats": _to_numpy_tree(batch_stats),
+        },
+        "train": {
+            "opt_state": _to_numpy_tree(opt_state_sd) if opt_state_sd else {},
+            "epoch": epoch,
+            "global_step": global_step,
+            "bests": bests or {},
+        },
+        "config_json": json.dumps(config, default=str),
+        "metrics_json": json.dumps(metrics, default=float) if metrics else "",
+    }
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def load_checkpoint_orbax(path: Path | str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(Path(path).absolute())
+    payload["config"] = json.loads(payload.pop("config_json") or "{}")
+    mj = payload.pop("metrics_json", "")
+    payload["metrics"] = json.loads(mj) if mj else None
+    return payload
+
+
+def load_any(path: Path | str) -> Tuple[Dict, Dict[str, Any]]:
+    """Load ours (.ckpt msgpack file / Orbax directory) or a reference torch
+    checkpoint (.pth). Returns (variables={'params','batch_stats'}, config).
     """
     path = Path(path)
-    if path.suffix == ".pth" or _looks_like_torch(path):
+    if path.is_dir():  # Orbax checkpoints are directories
+        payload = load_checkpoint_orbax(path)
+    elif path.suffix == ".pth" or _looks_like_torch(path):
         from video_fingerprint_tpu.utils.torch_compat import load_torch_checkpoint
 
         return load_torch_checkpoint(str(path))
-    payload = load_checkpoint(path)
+    else:
+        payload = load_checkpoint(path)
     model = payload["model"]
     return {"params": model["params"], "batch_stats": model["batch_stats"]}, payload["config"]
 

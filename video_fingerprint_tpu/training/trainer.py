@@ -354,8 +354,14 @@ class Trainer:
             "best_auc_roc": self.best_auc_roc,
         }
 
+        backend = (
+            ckpt.save_checkpoint_orbax
+            if self.config.get("checkpoint_backend") == "orbax"
+            else ckpt.save_checkpoint
+        )
+
         def save(path):
-            ckpt.save_checkpoint(
+            backend(
                 path,
                 self.state.params,
                 self.state.batch_stats,
@@ -382,7 +388,10 @@ class Trainer:
                 )
 
     def resume(self, checkpoint_path):
-        payload = ckpt.load_checkpoint(checkpoint_path)
+        if Path(checkpoint_path).is_dir():  # Orbax directory checkpoint
+            payload = ckpt.load_checkpoint_orbax(checkpoint_path)
+        else:
+            payload = ckpt.load_checkpoint(checkpoint_path)
         model_vars = payload["model"]
         train = payload["train"]
         opt_state = serialization.from_state_dict(
