@@ -12,6 +12,10 @@ import sys
 
 from tests.conftest import REPO_ROOT
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_two_process_dp_train_step():
     worker = REPO_ROOT / "tools" / "multihost_smoke_worker.py"

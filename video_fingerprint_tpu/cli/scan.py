@@ -41,8 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use the C++ libav decode worker (fused decode+"
                              "scale+crop; cv2 remains the default)")
     parser.add_argument("--native_preprocess", action="store_true",
-                        help="Use the C++ host preprocess runtime (fast path; "
-                             "cv2 remains the bit-exact default)")
+                        help="Use the C++ host preprocess runtime (fast path; cv2 is "
+                             "the bit-exact default; superseded by "
+                             "--native_decode in batched scans)")
     return parser
 
 
