@@ -89,10 +89,13 @@ bool for_each_frame(Demux& d, Fn&& fn) {
 }
 
 // Scale to short-side==size (AREA) then center-crop into out (size,size,3).
+// The SwsContext cache is keyed on the full source signature (w, h, format)
+// so mid-stream resolution/format switches rebuild it.
 struct ShortSideScaler {
   SwsContext* sws = nullptr;
   std::vector<uint8_t> tmp;
   int nw = 0, nh = 0, size;
+  int src_w = -1, src_h = -1, src_fmt = -1;
 
   explicit ShortSideScaler(int size) : size(size) {}
   ~ShortSideScaler() {
@@ -109,10 +112,14 @@ struct ShortSideScaler {
       want_nw = size;
       want_nh = (int)((int64_t)h * size / w);
     }
-    if (!sws || want_nw != nw || want_nh != nh) {
+    if (!sws || w != src_w || h != src_h || f->format != src_fmt ||
+        want_nw != nw || want_nh != nh) {
       if (sws) sws_freeContext(sws);
       nw = want_nw;
       nh = want_nh;
+      src_w = w;
+      src_h = h;
+      src_fmt = f->format;
       sws = sws_getContext(w, h, (AVPixelFormat)f->format, nw, nh,
                            AV_PIX_FMT_RGB24, SWS_AREA, nullptr, nullptr,
                            nullptr);
@@ -156,12 +163,22 @@ int vfp_decode_probe(const char* path, long long* total_frames, double* fps,
 
 // Decode every `skip_rate`-th frame, fused short-side scale + center crop to
 // (size, size, 3) RGB24 u8 per frame into `out` (max_frames slots).
-// Returns the number of frames written, or -1 on open failure.
+// skip_rate <= 0 derives max(1, total // max_frames) from the stream (one
+// open, no separate probe). Returns frames written, or -1 on open failure.
 int vfp_decode_scan(const char* path, int max_frames, int skip_rate, int size,
                     uint8_t* out) {
   Demux d;
   if (!d.open(path)) return -1;
-  if (skip_rate < 1) skip_rate = 1;
+  if (skip_rate < 1) {
+    AVStream* st = d.stream();
+    long long total = st->nb_frames;
+    double rate = av_q2d(st->avg_frame_rate);
+    if (total == 0 && st->duration > 0 && rate > 0) {
+      total = (long long)(st->duration * av_q2d(st->time_base) * rate);
+    }
+    skip_rate = (total > max_frames) ? (int)(total / max_frames) : 1;
+    if (skip_rate < 1) skip_rate = 1;
+  }
   ShortSideScaler scaler(size);
   int written = 0;
   const size_t frame_bytes = (size_t)size * size * 3;
@@ -185,10 +202,13 @@ int vfp_decode_clip(const char* path, long long start_frame, int num_frames,
   if (!d.open(path)) return -1;
   AVStream* st = d.stream();
   double rate = av_q2d(st->avg_frame_rate);
-  int64_t target_pts = 0;
+  // frame pts are offset by the stream start_time (e.g. MPEG-TS captures)
+  const int64_t start_pts =
+      (st->start_time != AV_NOPTS_VALUE) ? st->start_time : 0;
+  int64_t target_pts = start_pts;
   if (start_frame > 0 && rate > 0) {
     double seconds = (double)start_frame / rate;
-    target_pts = (int64_t)(seconds / av_q2d(st->time_base));
+    target_pts = start_pts + (int64_t)(seconds / av_q2d(st->time_base));
     av_seek_frame(d.fmt, d.stream_index, target_pts, AVSEEK_FLAG_BACKWARD);
     avcodec_flush_buffers(d.codec);
   }
@@ -197,10 +217,13 @@ int vfp_decode_clip(const char* path, long long start_frame, int num_frames,
   int written = 0;
   const size_t frame_bytes = (size_t)size * size * 3;
   int crop_w = 0, crop_h = 0, off_x = 0, off_y = 0;
+  int src_w = -1, src_h = -1, src_fmt = -1;
 
   for_each_frame(d, [&](AVFrame* f, int64_t) {
     if (f->pts != AV_NOPTS_VALUE && f->pts < target_pts) return true;
-    if (!sws) {
+    if (!sws || f->width != src_w || f->height != src_h ||
+        f->format != src_fmt) {
+      if (sws) sws_freeContext(sws);
       int h = f->height, w = f->width;
       int side = std::min(h, w);
       // even offsets keep chroma planes aligned for subsampled formats
@@ -208,20 +231,29 @@ int vfp_decode_clip(const char* path, long long start_frame, int num_frames,
       off_y = ((h - side) / 2) & ~1;
       crop_w = side;
       crop_h = side;
+      src_w = w;
+      src_h = h;
+      src_fmt = f->format;
       sws = sws_getContext(crop_w, crop_h, (AVPixelFormat)f->format, size,
                            size, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                            nullptr, nullptr);
       if (!sws) return false;
     }
-    // crop by plane pointer offset (YUV chroma at half resolution)
+    // Crop by plane pointer offset. The horizontal offset must be in BYTES:
+    // per plane, samples may span several bytes (10-bit) or be interleaved
+    // (packed RGB), so use the pixfmt descriptor's component step.
     const AVPixFmtDescriptor* desc =
         av_pix_fmt_desc_get((AVPixelFormat)f->format);
     const uint8_t* planes[4] = {nullptr, nullptr, nullptr, nullptr};
     for (int p = 0; p < 4 && f->data[p]; ++p) {
       int sx = (p == 1 || p == 2) ? desc->log2_chroma_w : 0;
       int sy = (p == 1 || p == 2) ? desc->log2_chroma_h : 0;
-      planes[p] =
-          f->data[p] + (size_t)(off_y >> sy) * f->linesize[p] + (off_x >> sx);
+      int step = 1;  // bytes from one sample to the next within the plane
+      for (int c = 0; c < desc->nb_components; ++c) {
+        if (desc->comp[c].plane == p) step = std::max(step, desc->comp[c].step);
+      }
+      planes[p] = f->data[p] + (size_t)(off_y >> sy) * f->linesize[p] +
+                  (size_t)(off_x >> sx) * step;
     }
     uint8_t* dst[1] = {out + (size_t)written * frame_bytes};
     int dst_stride[1] = {size * 3};

@@ -72,6 +72,19 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_debug_nans", True)
 
+    # multi-host: must run before any other jax call touches the backend
+    from video_fingerprint_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    shard_index, shard_count = maybe_initialize_distributed()
+    if shard_count > 1:
+        print(f"Multi-host: process {shard_index}/{shard_count}")
+        if args.batch_size % shard_count != 0:
+            print(f"Error: batch_size {args.batch_size} must be divisible by "
+                  f"the process count ({shard_count})")
+            return 1
+
     from video_fingerprint_tpu.data.dataset import create_dataloader
     from video_fingerprint_tpu.models import create_model
     from video_fingerprint_tpu.training.trainer import Trainer, setup_run_directory
@@ -123,9 +136,11 @@ def main(argv=None) -> int:
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
+    per_host_batch = config["batch_size"] // shard_count
+
     train_loader = create_dataloader(
         args.data_dir,
-        batch_size=config["batch_size"],
+        batch_size=per_host_batch,
         num_workers=args.num_workers,
         frame_size=config["frame_size"],
         max_frames=config["max_frames"],
@@ -134,12 +149,14 @@ def main(argv=None) -> int:
         mode="train",
         model_type=args.model,
         seed=args.seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )
     val_loader = create_dataloader(
         args.data_dir,
-        batch_size=config["batch_size"] * 2
+        batch_size=per_host_batch * 2
         if args.model == "attention"
-        else config["batch_size"],
+        else per_host_batch,
         num_workers=args.num_workers,
         frame_size=config["frame_size"],
         max_frames=config["max_frames"],
@@ -148,6 +165,8 @@ def main(argv=None) -> int:
         mode="val",
         model_type=args.model,
         seed=args.seed,
+        shard_index=shard_index,
+        shard_count=shard_count,
     )
 
     if len(train_loader) == 0:

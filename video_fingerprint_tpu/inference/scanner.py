@@ -38,6 +38,29 @@ DEFAULT_EXTENSIONS = [".mp4", ".avi", ".mov", ".mkv", ".webm", ".flv"]
 SCAN_BUCKETS = (32, 64, 128, 256, 512)
 
 
+class _AsyncPipeline:
+    """One-deep dispatch/readback pipeline shared by the batched scan paths:
+    the previous batch's device result is materialized only after the next
+    batch has been dispatched, overlapping H2D + compute with readback."""
+
+    def __init__(self, on_result):
+        self._inflight = []
+        self._on_result = on_result
+
+    def dispatch(self, context, device_result):
+        self._inflight.append((context, device_result))
+        while len(self._inflight) > 1:
+            self._drain_one()
+
+    def _drain_one(self):
+        context, device_result = self._inflight.pop(0)
+        self._on_result(context, np.asarray(device_result))
+
+    def finish(self):
+        while self._inflight:
+            self._drain_one()
+
+
 class FingerprintScanner:
     """Extract fingerprints and find duplicate videos."""
 
@@ -291,16 +314,12 @@ class FingerprintScanner:
         pending: Dict[int, list] = {b: [] for b in self.buckets}
         fingerprints: Dict[str, dict] = {}
         failed = 0
-        # one-deep pipeline: the previous batch's embeddings are read back
-        # only after the next batch has been dispatched, overlapping H2D +
-        # compute with readback (and with host-side decode via the queue).
-        inflight: list = []  # [(items, device_embeddings)]
 
-        def drain():
-            items, dev_embs = inflight.pop(0)
-            embs = np.asarray(dev_embs)
+        def on_result(items, embs):
             for i, (path, _) in enumerate(items):
                 fingerprints[str(path)] = self._metadata(path, embs[i])
+
+        pipeline = _AsyncPipeline(on_result)
 
         def flush(bucket: int):
             items = pending[bucket]
@@ -319,10 +338,8 @@ class FingerprintScanner:
                 jax.device_put(jnp.asarray(clips), self.device),
                 jax.device_put(jnp.asarray(masks), self.device),
             )  # async dispatch
-            inflight.append((items, dev_embs))
+            pipeline.dispatch(items, dev_embs)
             pending[bucket] = []
-            while len(inflight) > 1:
-                drain()
 
         while True:
             item = work.get()
@@ -338,8 +355,7 @@ class FingerprintScanner:
                 flush(bucket)
         for bucket in self.buckets:
             flush(bucket)
-        while inflight:
-            drain()
+        pipeline.finish()
         return fingerprints, failed
 
     def _scan_batched_3d(self, video_paths: List[Path], num_workers: int):
@@ -393,20 +409,18 @@ class FingerprintScanner:
                     owners.append(str(path))
 
         per_video: Dict[str, list] = {}
-        expected = {str(p): (len(s) if s else 0) for p, s in plans}
 
         fwd = self._fwd
         B = self.batch_size
         buf, buf_owner = [], []
         fingerprints: Dict[str, dict] = {}
         failed = 0
-        inflight: list = []  # one-deep pipeline, like _scan_batched
 
-        def drain():
-            batch_owners, dev_embs = inflight.pop(0)
-            embs = np.asarray(dev_embs)
+        def on_result(batch_owners, embs):
             for i, owner in enumerate(batch_owners):
                 per_video.setdefault(owner, []).append(embs[i])
+
+        pipeline = _AsyncPipeline(on_result)
 
         def flush():
             nonlocal buf, buf_owner
@@ -421,23 +435,19 @@ class FingerprintScanner:
             dev_embs = fwd(
                 self.variables, jax.device_put(jnp.asarray(arr), self.device)
             )  # async dispatch
-            inflight.append((list(buf_owner), dev_embs))
+            pipeline.dispatch(list(buf_owner), dev_embs)
             buf, buf_owner = [], []
-            while len(inflight) > 1:
-                drain()
 
         with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
             for owner, clip in zip(owners, pool.map(load_window, jobs)):
                 if clip is None:
-                    expected[owner] -= 1
-                    continue
+                    continue  # degraded: mean over surviving windows
                 buf.append(clip)
                 buf_owner.append(owner)
                 if len(buf) >= B:
                     flush()
         flush()
-        while inflight:
-            drain()
+        pipeline.finish()
 
         for path, starts in plans:
             key = str(path)
@@ -451,8 +461,10 @@ class FingerprintScanner:
                 else:
                     fingerprints[key] = self._metadata(Path(path), emb)
                 continue
+            # reference semantics: mean over whatever windows decoded
+            # successfully; fail only when none did (fingerprint.py:300-320).
             embs = per_video.get(key, [])
-            if not embs or len(embs) < max(1, expected[key]):
+            if not embs:
                 failed += 1
                 continue
             # multi-window videos always renormalize (fingerprint.py:316-318)

@@ -19,18 +19,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from video_fingerprint_tpu.parallel.mesh import make_mesh
 
 
-def maybe_initialize_distributed() -> Tuple[int, int]:
-    """Initialize multi-host JAX when a coordinator is configured.
+_initialized = False
 
-    Controlled by standard env (JAX_COORDINATOR_ADDRESS etc. or TPU pod
-    metadata). Safe no-op single-host. Returns (process_index, process_count).
+
+def maybe_initialize_distributed() -> Tuple[int, int]:
+    """Initialize multi-host JAX when a coordinator is configured via env
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+
+    Must run before ANY other jax call touches the backend —
+    jax.distributed.initialize() raises once the XLA backend exists, so this
+    function must not itself query devices/process_count before initializing.
+    Safe no-op single-host. Returns (process_index, process_count).
     """
+    global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord and jax.process_count() == 1:
+    if coord and not _initialized:
         try:
             jax.distributed.initialize()
-        except Exception as e:  # already initialized or misconfigured
-            print(f"jax.distributed.initialize skipped: {e}")
+            _initialized = True
+        except Exception as e:  # already initialized elsewhere / misconfigured
+            print(f"jax.distributed.initialize failed: {e}")
     return jax.process_index(), jax.process_count()
 
 
@@ -64,4 +72,6 @@ class DataParallel:
         return jax.device_put(tree, self.replicated)
 
     def pad_batch_size(self, b: int) -> int:
-        return ((b + self.n - 1) // self.n) * self.n
+        from video_fingerprint_tpu.parallel.mesh import pad_to_multiple
+
+        return pad_to_multiple(b, self.n)

@@ -42,9 +42,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        needs_build = not _SO.exists() or (
+            _SRC.exists() and _SO.stat().st_mtime < _SRC.stat().st_mtime
+        )
+        if needs_build:
             if not _SRC.exists() or not _build():
-                return None
+                # a prebuilt .so without the source is still usable
+                if not _SO.exists():
+                    return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError:

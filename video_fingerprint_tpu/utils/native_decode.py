@@ -42,9 +42,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        needs_build = not _SO.exists() or (
+            _SRC.exists() and _SO.stat().st_mtime < _SRC.stat().st_mtime
+        )
+        if needs_build:
             if not _SRC.exists() or not _build():
-                return None
+                # a prebuilt .so without the source is still usable
+                if not _SO.exists():
+                    return None
         try:
             lib = ctypes.CDLL(str(_SO))
         except OSError:
@@ -95,13 +100,11 @@ def decode_scan(path, max_frames: int, size: int,
     lib = _load()
     if lib is None:
         return None
-    if skip_rate is None:
-        info = probe(path)
-        total = info[0] if info else 0
-        skip_rate = max(1, total // max_frames) if total > max_frames else 1
     out = np.empty((max_frames, size, size, 3), np.uint8)
+    # skip_rate None -> 0: the worker derives max(1, total // max_frames)
+    # inside its single open (no separate probe pass).
     n = lib.vfp_decode_scan(
-        str(path).encode(), max_frames, int(skip_rate), size,
+        str(path).encode(), max_frames, int(skip_rate or 0), size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if n <= 0:
