@@ -1,10 +1,18 @@
-"""One DP train step across N processes (multi-host smoke).
+"""Multi-host smoke workers (run by tests/test_multihost.py).
 
 Validates the full multi-host story on one machine: jax.distributed over a
 localhost coordinator (the same code path as DCN), per-process input shards
 assembled into global arrays (parallel/distributed.py shard_batch), psum'd
-gradients. Run by tests/test_multihost.py; usage:
-  python tools/multihost_smoke_worker.py <process_id> <num_processes> [port]
+gradients. Usage:
+
+  python tools/multihost_smoke_worker.py <pid> <nprocs> [port] [mode] [dir]
+
+mode "step" (default): one DP train step, print the global loss.
+mode "full": a full Trainer epoch — train_epoch + validate() with a partial
+  trailing val batch (exercises the per-host wraparound padding against the
+  global mesh) + checkpoint/artifact writes. Each rank is given its OWN run
+  dir; single-writer discipline means only rank 0's dir may contain files
+  (reference train.py:538-568 artifact semantics under N processes).
 """
 import sys
 from pathlib import Path
@@ -13,6 +21,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 pid, nprocs = int(sys.argv[1]), int(sys.argv[2])
 port = sys.argv[3] if len(sys.argv) > 3 else "12431"
+mode = sys.argv[4] if len(sys.argv) > 4 else "step"
 jax.distributed.initialize(f"localhost:{port}", num_processes=nprocs, process_id=pid)
 
 import jax.numpy as jnp
@@ -22,23 +31,105 @@ from video_fingerprint_tpu.parallel.distributed import DataParallel
 from video_fingerprint_tpu.training.optim import make_optimizer
 from video_fingerprint_tpu.training.train_step import init_train_state, make_train_step
 
-dp = DataParallel()  # global 2-device mesh (1 per process)
-model = create_model("attention")
-state = init_train_state(model, None, jax.random.PRNGKey(0), (1, 8, 32, 32, 3))
-tx = make_optimizer("attention", state.params, 1e-3, total_steps=10)
-state = dp.replicate(state.replace(opt_state=tx.init(state.params)))
-step = jax.jit(make_train_step(model, tx, "attention"))
 
-B_local, T = 1, 8  # per-host shard of global batch 2
-rng = np.random.default_rng(pid)
-local = {
-    "clip1": (rng.random((B_local, T, 32, 32, 3)) * 255).astype(np.uint8),
-    "clip2": (rng.random((B_local, T, 32, 32, 3)) * 255).astype(np.uint8),
-    "video_id": np.asarray([pid], np.int32),
-    "mask1": np.ones((B_local, T), bool),
-    "mask2": np.ones((B_local, T), bool),
-}
-batch = dp.shard_batch(local)
-new_state, metrics = step(state, batch, dp.replicate(jax.random.PRNGKey(3)))
-print(f"proc {pid}: DP train step over {jax.process_count()} processes OK, "
-      f"loss={float(metrics['loss']):.4f}", flush=True)
+def run_step():
+    dp = DataParallel()  # global mesh over all processes' devices
+    model = create_model("attention")
+    state = init_train_state(model, None, jax.random.PRNGKey(0), (1, 8, 32, 32, 3))
+    tx = make_optimizer("attention", state.params, 1e-3, total_steps=10)
+    state = dp.replicate(state.replace(opt_state=tx.init(state.params)))
+    step = jax.jit(make_train_step(model, tx, "attention"))
+
+    n_local = jax.local_device_count()
+    B_local, T = n_local, 8  # one row per local device
+    rng = np.random.default_rng(pid)
+    local = {
+        "clip1": (rng.random((B_local, T, 32, 32, 3)) * 255).astype(np.uint8),
+        "clip2": (rng.random((B_local, T, 32, 32, 3)) * 255).astype(np.uint8),
+        "video_id": (pid * 100 + np.arange(B_local)).astype(np.int32),
+        "mask1": np.ones((B_local, T), bool),
+        "mask2": np.ones((B_local, T), bool),
+    }
+    batch = dp.shard_batch(local)
+    new_state, metrics = step(state, batch, dp.replicate(jax.random.PRNGKey(3)))
+    print(f"proc {pid}: DP train step over {jax.process_count()} processes OK, "
+          f"loss={float(metrics['loss']):.4f}", flush=True)
+
+
+class _FakeLoader:
+    """Deterministic in-memory loader (no decode) with the BucketedLoader
+    protocol surface the Trainer consumes."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _make_batch(b_local, T, hw, seed):
+    rng = np.random.default_rng(seed)
+    return {
+        "clip1": (rng.random((b_local, T, hw, hw, 3)) * 255).astype(np.uint8),
+        "clip2": (rng.random((b_local, T, hw, hw, 3)) * 255).astype(np.uint8),
+        "video_id": (seed * 100 + np.arange(b_local)).astype(np.int32),
+        "mask1": np.ones((b_local, T), bool),
+        "mask2": np.ones((b_local, T), bool),
+    }
+
+
+def run_full(run_base: str):
+    from video_fingerprint_tpu.config import Config
+    from video_fingerprint_tpu.training.trainer import Trainer
+
+    T, hw = 8, 16
+    config = Config(
+        batch_size=2 * nprocs,  # one row per device (2 devices/process)
+        epochs=1,
+        learning_rate=1e-3,
+        frame_size=hw,
+        max_frames=T,
+        patience=10,
+        model_type="attention",
+        device="cpu",
+        seed=0,
+    ).to_dict()
+
+    train_loader = _FakeLoader(
+        [_make_batch(2, T, hw, 1000 * pid + i) for i in range(2)]
+    )
+    # trailing PARTIAL local batch (true_b=1 < 2 devices/process): exercises
+    # validate()'s per-host wraparound padding against the global mesh.
+    val_loader = _FakeLoader(
+        [_make_batch(2, T, hw, 77 + pid), _make_batch(1, T, hw, 88 + pid)]
+    )
+
+    run_dir = Path(run_base) / f"rank{pid}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    model = create_model(
+        "attention",
+        spatial_dim=config["spatial_dim"],
+        temporal_dim=config["temporal_dim"],
+        embedding_dim=config["embedding_dim"],
+        num_attention_blocks=config["num_attention_blocks"],
+    )
+    trainer = Trainer(model, train_loader, val_loader, config, run_dir)
+    trainer.train()
+    vm = trainer.validate()
+    print(
+        f"proc {pid}: full epoch over {jax.process_count()} processes OK, "
+        f"val_loss={vm['loss']:.6f}",
+        flush=True,
+    )
+
+
+if mode == "full":
+    run_full(sys.argv[5])
+else:
+    run_step()

@@ -89,11 +89,20 @@ def main(argv=None) -> int:
     from video_fingerprint_tpu.models import create_model
     from video_fingerprint_tpu.training.trainer import Trainer, setup_run_directory
 
+    # single-writer discipline: process 0 creates the run dir (and, for
+    # timestamped names, broadcasts the name so Orbax collective saves agree
+    # on the path); other processes never write run-dir artifacts.
+    from video_fingerprint_tpu.parallel.distributed import broadcast_string
+
     if args.run_name:
         run_dir = Path("./runs") / args.run_name
-        run_dir.mkdir(parents=True, exist_ok=True)
-    else:
+        if shard_index == 0:
+            run_dir.mkdir(parents=True, exist_ok=True)
+    elif shard_index == 0:
         run_dir = setup_run_directory(prefix="3d_" if args.model == "3d" else "")
+        broadcast_string(run_dir.name)
+    else:
+        run_dir = Path("./runs") / broadcast_string("")
 
     from video_fingerprint_tpu.config import Config
 

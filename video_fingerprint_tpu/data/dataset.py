@@ -74,8 +74,14 @@ class VideoFingerprintDataset:
         else:
             self.samples = self._build_3d_clip_index()
 
-        # deterministic per-host shard (SURVEY.md §2 C16)
+        # deterministic per-host shard (SURVEY.md §2 C16). Shards are
+        # truncated to equal size (dropping <= shard_count-1 samples): every
+        # host must run the SAME number of batches per epoch or the jitted
+        # step's collectives deadlock mid-epoch.
+        total = len(self.samples)
         self.samples = self.samples[shard_index::shard_count]
+        if shard_count > 1:
+            self.samples = self.samples[: total // shard_count]
 
         print(f"Found {len(self.video_paths)} videos")
         print(f"Dataset mode: {model_type}, Total samples: {len(self)}")
@@ -302,6 +308,13 @@ def create_dataloader(
     shard_count: int = 1,
 ) -> BucketedLoader:
     """Factory mirroring the reference signature (dataset.py:531-579)."""
+    buckets = None
+    if shard_count > 1:
+        # Multi-host: all hosts must pick the IDENTICAL padded length each
+        # step (different buckets = different compiled programs = collective
+        # deadlock), and data-dependent bucket choice diverges across host
+        # shards — so pin a single bucket at the cap.
+        buckets = (max_frames if model_type == "attention" else clip_length,)
     dataset = VideoFingerprintDataset(
         video_dir=video_dir,
         frame_size=frame_size,
@@ -321,5 +334,6 @@ def create_dataloader(
         shuffle=(mode == "train"),
         num_workers=num_workers,
         drop_last=(mode == "train"),
+        buckets=buckets,
         seed=seed,
     )

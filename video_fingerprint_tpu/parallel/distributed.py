@@ -72,6 +72,32 @@ class DataParallel:
         return jax.device_put(tree, self.replicated)
 
     def pad_batch_size(self, b: int) -> int:
+        """Pad a PER-HOST batch size so the assembled global batch divides the
+        mesh: local_pad * process_count % n == 0. Single-host this is simply
+        pad-to-multiple-of-n-devices."""
         from video_fingerprint_tpu.parallel.mesh import pad_to_multiple
 
-        return pad_to_multiple(b, self.n)
+        per_host = max(1, self.n // jax.process_count())
+        return pad_to_multiple(b, per_host)
+
+
+def is_main_process() -> bool:
+    """Single-writer discipline (reference train.py:538-568 artifact semantics
+    under N processes): run-dir files, TensorBoard and flat-file checkpoints
+    are written by process 0 only."""
+    return jax.process_index() == 0
+
+
+def broadcast_string(s: str, max_len: int = 128) -> str:
+    """Broadcast a short string (e.g. the timestamped run-dir name) from
+    process 0 to all processes. No-op single-host."""
+    if jax.process_count() == 1:
+        return s
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = s.encode()[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\x00").decode()

@@ -79,18 +79,33 @@ class Trainer:
         # state replicated, batches sharded over the 'data' mesh axis. On one
         # chip this degenerates to plain single-device placement; multi-host
         # processes each feed their own index shard (parallel/distributed.py).
-        from video_fingerprint_tpu.parallel.distributed import DataParallel
+        from video_fingerprint_tpu.parallel.distributed import (
+            DataParallel,
+            is_main_process,
+        )
 
+        self.is_main = is_main_process()
         devices = _pick_train_devices(config.get("device", "tpu"))
-        # use the largest device count that divides the batch size
-        n_use = len(devices)
-        while config["batch_size"] % n_use != 0:
-            n_use -= 1
-        if n_use < len(devices):
-            print(
-                f"Using {n_use}/{len(devices)} devices "
-                f"(batch_size {config['batch_size']} not divisible by {len(devices)})"
-            )
+        if jax.process_count() > 1:
+            # multi-host: the mesh must span every process's devices — we
+            # cannot drop devices to fix divisibility.
+            if config["batch_size"] % len(devices) != 0:
+                raise ValueError(
+                    f"multi-host: global batch_size {config['batch_size']} "
+                    f"must be divisible by the {len(devices)} global devices"
+                )
+            n_use = len(devices)
+        else:
+            # use the largest device count that divides the batch size
+            n_use = len(devices)
+            while config["batch_size"] % n_use != 0:
+                n_use -= 1
+            if n_use < len(devices):
+                print(
+                    f"Using {n_use}/{len(devices)} devices "
+                    f"(batch_size {config['batch_size']} not divisible by "
+                    f"{len(devices)})"
+                )
         self.dp = DataParallel(devices[:n_use])
         self.device = devices[0]
         frame_size = config["frame_size"]
@@ -124,15 +139,27 @@ class Trainer:
             ),
             donate_argnums=(0,),
         )
+        # eval outputs come back replicated so every host can materialize the
+        # full embedding set locally (XLA all-gathers over ICI/DCN); on one
+        # host this is a no-op.
         self.eval_step = jax.jit(
             make_eval_step(model, self.model_type,
-                           mask_padding=config.get("mask_padding", True))
+                           mask_padding=config.get("mask_padding", True)),
+            out_shardings=(None, self.dp.replicated, self.dp.replicated),
+        )
+        self._gather_replicated = jax.jit(
+            lambda x: x, out_shardings=self.dp.replicated
         )
         self.step_rng = self.dp.replicate(jax.random.PRNGKey(config.get("seed", 0) + 1))
 
         self.checkpoint_dir = self.run_dir / "checkpoints"
-        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
-        self.writer = _make_tb_writer(self.run_dir / "tensorboard")
+        if self.is_main:
+            self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = (
+            _make_tb_writer(self.run_dir / "tensorboard")
+            if self.is_main
+            else _NullWriter()
+        )
 
         self.best_val_loss = float("inf")
         self.best_val_acc = 0.0
@@ -147,6 +174,8 @@ class Trainer:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params))
 
     def _save_training_info(self):
+        if not self.is_main:
+            return
         (self.run_dir / "config.json").write_text(
             json.dumps(self.config, indent=2, default=str)
         )
@@ -185,9 +214,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        """One epoch of fused train steps.
+
+        TPU-first loop discipline: per-step metrics are accumulated as lazy
+        device scalars (jnp adds dispatch asynchronously) and materialized
+        every `metrics_every` steps for TB/tqdm and once at epoch end — a
+        per-step `float(...)` would block dispatch on the device result each
+        step (through a remote tunnel that serializes the whole loop)."""
         num_batches = 0
+        sums_dev = None  # device-side running sums of all step metrics
         self.train_loader.set_epoch(self.epoch)
+        metrics_every = int(self.config.get("metrics_every", 10))
+        epoch_t0 = time.time()
 
         # --profile: capture an xplane trace of a few post-warmup steps
         # (the reference has no profiler at all; SURVEY.md §5 tracing).
@@ -196,50 +234,54 @@ class Trainer:
         ) else None
         profiling = False
 
-        try:
-            from tqdm import tqdm
+        loader = self.train_loader
+        if self.is_main:
+            try:
+                from tqdm import tqdm
 
-            loader = tqdm(self.train_loader, desc=f"Epoch {self.epoch}",
-                          total=len(self.train_loader))
-        except ImportError:
-            loader = self.train_loader
+                loader = tqdm(self.train_loader, desc=f"Epoch {self.epoch}",
+                              total=len(self.train_loader))
+            except ImportError:
+                pass
 
+        last_t = time.time()
         for batch in loader:
             if profile_window and num_batches == profile_window[0]:
                 jax.profiler.start_trace(str(self.run_dir / "profile"))
                 profiling = True
-            t0 = time.time()
             device_batch = self.dp.shard_batch(batch)
             self.state, metrics = self.train_step(
                 self.state, device_batch, self.step_rng
             )
-            loss = float(metrics["loss"])
-            acc = float(metrics["acc"])
-            dt = time.time() - t0
-
-            sums["loss"] = sums.get("loss", 0.0) + loss
-            sums["acc"] = sums.get("acc", 0.0) + acc
-            sums["time_per_batch"] = sums.get("time_per_batch", 0.0) + dt
-            for k, v in metrics.items():
-                if k.startswith("loss_") or k == "num_triplets":
-                    sums[k] = sums.get(k, 0.0) + float(v)
+            sums_dev = (
+                metrics
+                if sums_dev is None
+                else jax.tree.map(jnp.add, sums_dev, metrics)
+            )
             num_batches += 1
 
-            lr = current_lr(
-                self.model_type, self.config["learning_rate"],
-                self.global_step, self.total_steps,
-                self.config["epochs"], max(1, len(self.train_loader)),
-            )
-            if hasattr(loader, "set_postfix"):
-                loader.set_postfix({
-                    "loss": f"{loss:.4f}", "acc": f"{acc:.3f}",
-                    "triplet": f"{float(metrics.get('loss_triplet', 0)):.3f}",
-                    "lr": f"{lr:.2e}", "time": f"{dt:.2f}s",
-                })
-            if self.global_step % 10 == 0:
+            if self.is_main and self.global_step % metrics_every == 0:
+                # one deliberate sync point per window
+                loss = float(metrics["loss"])
+                acc = float(metrics["acc"])
+                dt = time.time() - last_t
+                lr = current_lr(
+                    self.model_type, self.config["learning_rate"],
+                    self.global_step, self.total_steps,
+                    self.config["epochs"], max(1, len(self.train_loader)),
+                )
+                if hasattr(loader, "set_postfix"):
+                    loader.set_postfix({
+                        "loss": f"{loss:.4f}", "acc": f"{acc:.3f}",
+                        "triplet":
+                            f"{float(metrics.get('loss_triplet', 0)):.3f}",
+                        "lr": f"{lr:.2e}",
+                        "time": f"{dt / metrics_every:.2f}s",
+                    })
                 self.writer.add_scalar("Train/loss_step", loss, self.global_step)
                 self.writer.add_scalar("Train/acc_step", acc, self.global_step)
                 self.writer.add_scalar("Train/lr", lr, self.global_step)
+                last_t = time.time()
             self.global_step += 1
             if profiling and num_batches >= profile_window[1]:
                 jax.profiler.stop_trace()
@@ -248,22 +290,37 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
-        return {k: v / max(1, num_batches) for k, v in sums.items()}
+
+        epoch_time = time.time() - epoch_t0
+        out: Dict[str, float] = {}
+        if sums_dev is not None:
+            for k, v in sums_dev.items():
+                if k in ("loss", "acc") or k.startswith("loss_") or (
+                    k == "num_triplets"
+                ):
+                    out[k] = float(v) / num_batches
+        out["time_per_batch"] = epoch_time / max(1, num_batches)
+        return out
 
     # ------------------------------------------------------------------
     def validate(self) -> Dict[str, float]:
         sums: Dict[str, float] = {}
+        partial_sums: Dict[str, float] = {}
         num_batches = 0
+        num_partial = 0
         all_embeddings = []
         all_video_ids = []
         rng = jax.random.PRNGKey(1234)
+        nprocs = jax.process_count()
 
         robustness_batches = []  # up to ~50 samples (reference train.py:483-491)
         robustness_budget = 50
         for i, batch in enumerate(self.val_loader):
             # the val loader keeps its last partial batch (drop_last=False,
-            # like the reference); pad rows by wraparound to stay divisible
-            # by the mesh and slice the embeddings back afterwards.
+            # like the reference); pad the PER-HOST rows by wraparound so the
+            # assembled global batch divides the mesh, and slice the valid
+            # rows back out afterwards. Host shards are equal-sized
+            # (data/dataset.py), so every process sees the same true_b here.
             true_b = batch["clip1"].shape[0]
             padded_b = self.dp.pad_batch_size(true_b)
             if padded_b != true_b:
@@ -275,20 +332,39 @@ class Trainer:
                 {k: v for k, v in device_batch.items() if k != "video_id"},
                 jax.random.fold_in(rng, i),
             )
-            emb1, emb2 = emb1[:true_b], emb2[:true_b]
+            # wraparound-duplicated rows enter the InfoNCE logits as
+            # perfect-similarity false negatives — keep partial batches out
+            # of the scalar loss/acc aggregation (they still contribute
+            # embeddings); fall back to them only if EVERY batch is partial.
+            tgt = sums if padded_b == true_b else partial_sums
             for k, v in out.items():
                 if k.startswith("loss") or k == "acc":
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            num_batches += 1
-            all_embeddings.append(np.asarray(emb1))
-            all_embeddings.append(np.asarray(emb2))
-            ids = np.asarray(batch["video_id"])[:true_b]
+                    tgt[k] = tgt.get(k, 0.0) + float(v)
+            if padded_b == true_b:
+                num_batches += 1
+            else:
+                num_partial += 1
+
+            # eval_step outputs are replicated: every host holds the global
+            # (nprocs * padded_b, D) arrays, laid out as one padded_b block
+            # per process — select each block's first true_b valid rows.
+            dim = emb1.shape[-1]
+            e1 = np.asarray(emb1).reshape(nprocs, padded_b, dim)[:, :true_b]
+            e2 = np.asarray(emb2).reshape(nprocs, padded_b, dim)[:, :true_b]
+            all_embeddings.append(e1.reshape(-1, dim))
+            all_embeddings.append(e2.reshape(-1, dim))
+            ids = np.asarray(
+                self._gather_replicated(device_batch["video_id"])
+            ).reshape(nprocs, padded_b)[:, :true_b].reshape(-1)
             all_video_ids.extend(ids.tolist() * 2)
             if robustness_budget > 0 and self.model_type == "attention":
                 robustness_batches.append(
                     (device_batch["clip1"], device_batch.get("mask1"))
                 )
                 robustness_budget -= device_batch["clip1"].shape[0]
+
+        if num_batches == 0:  # tiny val set: only a partial batch exists
+            sums, num_batches = partial_sums, num_partial
 
         metrics = {k: v / max(1, num_batches) for k, v in sums.items()}
         if not all_embeddings:
@@ -347,6 +423,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, is_best: bool = False, metrics: Optional[Dict] = None):
+        orbax = self.config.get("checkpoint_backend") == "orbax"
+        # single-writer discipline: flat-file (msgpack) checkpoints are
+        # written by process 0 only; Orbax directory saves stay collective
+        # (every process must participate).
+        if not self.is_main and not orbax:
+            return
         opt_sd = serialization.to_state_dict(self.state.opt_state)
         bests = {
             "best_val_loss": self.best_val_loss,
@@ -376,13 +458,13 @@ class Trainer:
         save(self.checkpoint_dir / "last.ckpt")
         if is_best:
             save(self.checkpoint_dir / "best.ckpt")
-            if metrics:
+            if metrics and self.is_main:
                 (self.checkpoint_dir / "best_metrics.json").write_text(
                     json.dumps(metrics, indent=2, default=float)
                 )
         if self.epoch % 5 == 0:
             save(self.checkpoint_dir / f"epoch_{self.epoch}.ckpt")
-            if metrics:
+            if metrics and self.is_main:
                 (self.checkpoint_dir / f"epoch_{self.epoch}_metrics.json").write_text(
                     json.dumps(metrics, indent=2, default=float)
                 )
@@ -412,10 +494,13 @@ class Trainer:
         self.best_val_acc = float(bests.get("best_val_acc", 0.0))
         self.best_auc_roc = float(bests.get("best_auc_roc", 0.0))
         print(f"Resumed from epoch {self.epoch}")
-        with open(self.run_dir / "training_info.txt", "a") as f:
-            f.write(f"\n\nResumed from checkpoint: {checkpoint_path}\n")
+        if self.is_main:
+            with open(self.run_dir / "training_info.txt", "a") as f:
+                f.write(f"\n\nResumed from checkpoint: {checkpoint_path}\n")
 
     def _update_training_log(self, train_metrics, val_metrics, is_best):
+        if not self.is_main:
+            return
         log_path = self.run_dir / "training_log.txt"
         with open(log_path, "a") as f:
             if self.epoch == 0:
@@ -438,10 +523,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self):
-        print(f"Training on {self.device}")
-        print(f"Model type: {self.model_type}")
-        print(f"Model parameters: {self._param_count():,}")
-        print(f"\nRun directory: {self.run_dir}")
+        if self.is_main:
+            print(f"Training on {self.device}")
+            print(f"Model type: {self.model_type}")
+            print(f"Model parameters: {self._param_count():,}")
+            print(f"\nRun directory: {self.run_dir}")
 
         patience = self.config.get("patience", 10)
         patience_counter = 0
@@ -451,22 +537,24 @@ class Trainer:
             train_metrics = self.train_epoch()
             val_metrics = self.validate()
 
-            print(f"\n{'=' * 80}")
-            print(f"Epoch {epoch}/{self.config['epochs']}")
-            print(
-                f"Train - Loss: {train_metrics['loss']:.4f}, "
-                f"Acc: {train_metrics['acc']:.3f}"
-            )
-            print(
-                f"Val   - Loss: {val_metrics.get('loss', 0):.4f}, "
-                f"Acc: {val_metrics.get('acc', 0):.3f}"
-            )
-            print(f"  AUC-ROC: {val_metrics.get('auc_roc', 0):.3f}")
-            print(
-                f"  Separation gap: {val_metrics.get('separation_gap', 0):.3f} "
-                f"(intra {val_metrics.get('intra_sim_mean', 0):.3f} / "
-                f"inter {val_metrics.get('inter_sim_mean', 0):.3f})"
-            )
+            if self.is_main:
+                print(f"\n{'=' * 80}")
+                print(f"Epoch {epoch}/{self.config['epochs']}")
+                print(
+                    f"Train - Loss: {train_metrics['loss']:.4f}, "
+                    f"Acc: {train_metrics['acc']:.3f}"
+                )
+                print(
+                    f"Val   - Loss: {val_metrics.get('loss', 0):.4f}, "
+                    f"Acc: {val_metrics.get('acc', 0):.3f}"
+                )
+                print(f"  AUC-ROC: {val_metrics.get('auc_roc', 0):.3f}")
+                print(
+                    f"  Separation gap: "
+                    f"{val_metrics.get('separation_gap', 0):.3f} "
+                    f"(intra {val_metrics.get('intra_sim_mean', 0):.3f} / "
+                    f"inter {val_metrics.get('inter_sim_mean', 0):.3f})"
+                )
 
             for key, value in train_metrics.items():
                 self.writer.add_scalar(f"Train/{key}", value, epoch)
@@ -479,11 +567,16 @@ class Trainer:
                 self.best_auc_roc = auc
                 self.best_val_acc = val_metrics.get("acc", 0.0)
                 self.best_val_loss = val_metrics.get("loss", float("inf"))
-                print(f"\nNew best AUC-ROC: {auc:.3f}")
+                if self.is_main:
+                    print(f"\nNew best AUC-ROC: {auc:.3f}")
                 patience_counter = 0
             else:
                 patience_counter += 1
-                print(f"\nEarly stopping patience: {patience_counter}/{patience}")
+                if self.is_main:
+                    print(
+                        f"\nEarly stopping patience: "
+                        f"{patience_counter}/{patience}"
+                    )
 
             self.save_checkpoint(
                 is_best, metrics={"train": train_metrics, "val": val_metrics,
@@ -491,7 +584,7 @@ class Trainer:
             )
             self._update_training_log(train_metrics, val_metrics, is_best)
 
-            if val_metrics.get("separation_gap", 0) < 0.1:
+            if self.is_main and val_metrics.get("separation_gap", 0) < 0.1:
                 print("\nWARNING: Poor separation between same and different videos!")
 
             if patience_counter >= patience:
@@ -499,6 +592,8 @@ class Trainer:
                 break
 
         self.writer.close()
+        if not self.is_main:
+            return
         summary = [
             f"Training completed: {datetime.now().strftime('%Y-%m-%d %H:%M:%S')}",
             f"Model type: {self.model_type}",
