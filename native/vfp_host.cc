@@ -47,7 +47,13 @@ class ThreadPool {
             tasks_.pop();
           }
           task();
-          if (--inflight_ == 0) done_cv_.notify_all();
+          // The final decrement+notify must hold done_mu_: otherwise the
+          // notify can land between wait_all()'s predicate check and its
+          // sleep (lost wakeup -> wait_all blocks forever).
+          if (--inflight_ == 0) {
+            std::lock_guard<std::mutex> lk(done_mu_);
+            done_cv_.notify_all();
+          }
         }
       });
     }

@@ -115,9 +115,9 @@ def test_export_roundtrip_to_reference(tmp_path):
 
     m = ref.create_model("attention")
     sd = {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}
-    missing, unexpected = m.load_state_dict(sd, strict=False)
-    assert not unexpected
-    assert all(k == "pos_encoding.pe" for k in missing)  # recomputed buffer
+    # strict: the export must cover EVERY reference key, including the
+    # persistent pos_encoding.pe buffer (fingerprint.py:70 loads strict).
+    m.load_state_dict(sd, strict=True)
     m.eval()
 
     video = np.random.default_rng(3).random((1, 12, 3, 64, 64)).astype(np.float32)
@@ -153,6 +153,7 @@ def test_export_cli(tmp_path):
     assert ckpt["epoch"] == 2 and ckpt["global_step"] == 7
     assert ckpt["config"]["model_type"] == "attention"
     assert "spatial_encoder.encoder.0.weight" in ckpt["model_state_dict"]
+    assert ckpt["model_state_dict"]["pos_encoding.pe"].shape == (1, 10000, 256)
 
 
 def test_export_3d_roundtrip_to_reference():
@@ -172,9 +173,11 @@ def test_export_3d_roundtrip_to_reference():
     import model as ref
 
     m = ref.create_model("3d", frame_stride=16)
-    missing, unexpected = m.load_state_dict(
+    # strict=True raises on any mismatch; assert the report is empty too.
+    result = m.load_state_dict(
         {k: torch.from_numpy(v.copy()) for k, v in sd_np.items()}, strict=True
-    ), None
+    )
+    assert not result.missing_keys and not result.unexpected_keys
     m.eval()
 
     video = np.random.default_rng(5).random((1, 48, 3, 64, 64)).astype(np.float32)

@@ -214,6 +214,15 @@ def attention_variables_to_state_dict(variables) -> Dict[str, np.ndarray]:
     put_linear("final_projection_1", "final_projection.0")
     put_linear("final_projection_2", "final_projection.3")
     sd["temperature"] = _get(params, "temperature")
+
+    # The reference registers the sinusoidal table as a PERSISTENT buffer
+    # (model.py:86 register_buffer), so its strict load_state_dict
+    # (fingerprint.py:70) requires the key. It is deterministic: max_len
+    # 10000 x d_model=temporal_dim, shape (1, 10000, C) (model.py:74-89).
+    from video_fingerprint_tpu.models.layers import _sinusoidal_table
+
+    temporal_dim = _get(params, "temporal_projection/dense/kernel").shape[1]
+    sd["pos_encoding.pe"] = _sinusoidal_table(10000, temporal_dim)[None, :, :]
     return sd
 
 
