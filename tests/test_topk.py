@@ -61,6 +61,50 @@ def test_sharded_topk_small_corpus():
     np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_sharded_topk_large_corpus_scaling():
+    """Ring top-k at 64k rows on the 8-device mesh: per-device memory stays
+    O(N/d·(D+k)) — nothing replicated — and a 512-row sample matches the
+    oracle. (A 1M-row self-search is O(N²·D) FLOPs — beyond this CPU box —
+    but memory/compile behavior is shape-linear, which is what this checks.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.ops import topk as topk_mod
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    n, dim, k = 65536, 64, 10
+    rng = np.random.default_rng(2)
+    e = rng.normal(size=(n, dim)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    mesh = make_mesh("corpus")
+
+    qb = 128
+    scores, idx = topk_mod.sharded_topk_cosine(e, k, mesh=mesh, query_block=qb)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+
+    # compiled per-device temp footprint: O(shard + qb*shard_rows sims block),
+    # strictly below replicating the full (N, D) corpus per device (the old
+    # design's floor).
+    fn = topk_mod._RING_CACHE[(mesh, "corpus", n, dim, k, k, qb)]
+    mem = fn.lower(
+        jax.ShapeDtypeStruct((n, dim), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    ).compile().memory_analysis()
+    full_corpus_bytes = n * dim * 4
+    assert mem.temp_size_in_bytes < full_corpus_bytes, (
+        mem.temp_size_in_bytes, full_corpus_bytes
+    )
+
+    sample = rng.choice(n, 512, replace=False)
+    sims = e[sample] @ e.T  # (512, n) oracle rows only
+    o_idx = np.argsort(-sims, axis=1)[:, :k]
+    o_scores = np.take_along_axis(sims, o_idx, axis=1)
+    np.testing.assert_allclose(scores[sample], o_scores, atol=2e-5)
+    chosen = np.take_along_axis(sims, idx[sample], axis=1)
+    np.testing.assert_allclose(chosen, o_scores, atol=2e-5)
+
+
 def test_fingerprint_index_api(tmp_path, embeddings):
     from video_fingerprint_tpu.inference.index import FingerprintIndex
 

@@ -7,11 +7,15 @@ The reference searches duplicates with either a full `np.dot` all-pairs matrix
   - `topk_cosine`: single-chip, query-tiled E @ Eᵀ + `lax.top_k`. Query tiling
     (lax.map over static-size blocks) bounds the similarity matrix to
     (block, N) so a 100k-corpus scan never materializes N².
-  - `sharded_topk_cosine`: corpus-sharded over a 1-D mesh via shard_map. Each
-    chip holds an (N/d, D) shard, computes all-queries x shard similarities,
-    takes a local top-k, then the (N, d·k) candidate sets are all-gathered
-    over ICI and reduced with a global top-k. Communication is O(N·d·k),
-    never O(N²).
+  - `sharded_topk_cosine`: corpus- AND query-sharded over a 1-D mesh via a
+    shard_map ring. Each chip holds an (N/d, D) shard that serves as both its
+    query rows and a corpus tile; corpus tiles rotate around the ring via
+    `ppermute` (d steps), and each chip folds every tile into a running
+    per-row top-k. Per-device memory is O(N/d·(D+k)) — nothing is ever
+    replicated — so the design scales to corpora far past one chip's HBM;
+    communication is the corpus matrix once around the ring (O(N·D) bytes
+    total, O(N/d·D) resident). Compiled programs are cached per
+    (mesh, shapes, k), so repeated searches don't re-trace.
 
 Self-matches are NOT excluded (FAISS also returns them); the greedy grouping
 host-side handles that, exactly like the reference.
@@ -64,6 +68,77 @@ def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
     return topk_search(embeddings, embeddings, k, query_block=query_block)
 
 
+_RING_CACHE: dict = {}
+
+
+def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
+               kk: int, local_k: int, query_block: int):
+    """Build (or fetch) the compiled ring-top-k program for these shapes."""
+    key = (mesh, axis_name, n_pad, dim, kk, local_k, query_block)
+    if key in _RING_CACHE:
+        return _RING_CACHE[key]
+
+    d = mesh.shape[axis_name]
+    shard_rows = n_pad // d
+    perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def local_fn(shard, n_valid):
+        # shard: (shard_rows, D) — this device's query rows AND the corpus
+        # tile it contributes to the ring. n_valid: () replicated.
+        my = jax.lax.axis_index(axis_name)
+        q_blocks = shard.reshape(shard_rows // query_block, query_block, dim)
+
+        def step(t, carry):
+            scores, idx, tile = carry
+            # after t rotations (i -> i+1) this device holds the tile that
+            # started on device (my - t) mod d.
+            offset = ((my - t) % d) * shard_rows
+            col_idx = offset + jnp.arange(shard_rows, dtype=jnp.int32)
+            col_valid = col_idx < n_valid
+
+            def block_fn(qb):
+                sims = jnp.dot(
+                    qb, tile.T,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                sims = jnp.where(col_valid[None, :], sims, _NEG)
+                s, j = jax.lax.top_k(sims, local_k)
+                return s, col_idx[j]
+
+            s_new, i_new = jax.lax.map(block_fn, q_blocks)
+            s_cat = jnp.concatenate(
+                [scores, s_new.reshape(shard_rows, local_k)], axis=1
+            )
+            i_cat = jnp.concatenate(
+                [idx, i_new.reshape(shard_rows, local_k)], axis=1
+            )
+            s_top, pos = jax.lax.top_k(s_cat, kk)
+            i_top = jnp.take_along_axis(i_cat, pos, axis=1)
+            tile = jax.lax.ppermute(tile, axis_name, perm)
+            return (s_top, i_top, tile)
+
+        init = (
+            jnp.full((shard_rows, kk), _NEG, jnp.float32),
+            jnp.zeros((shard_rows, kk), jnp.int32),
+            shard,
+        )
+        scores, idx, _ = jax.lax.fori_loop(0, d, step, init)
+        return scores, idx
+
+    from jax import shard_map
+
+    fn = jax.jit(shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P(axis_name, None)),
+        check_vma=False,
+    ))
+    _RING_CACHE[key] = fn
+    return fn
+
+
 def sharded_topk_cosine(
     embeddings: Array,
     k: int,
@@ -71,11 +146,13 @@ def sharded_topk_cosine(
     axis_name: str = "corpus",
     query_block: int = 1024,
 ):
-    """Corpus-sharded top-k over a device mesh (BASELINE config #5).
+    """Ring-sharded top-k over a device mesh (BASELINE config #5).
 
-    Each device owns an equal corpus shard; padded rows are masked to -inf so
-    they can never enter a top-k. Returns (scores (N,k), indices (N,k)) in
-    global corpus coordinates.
+    Queries and corpus are the same (N, D) matrix, sharded over the mesh;
+    corpus tiles rotate around the ring while each device maintains a running
+    top-k for its own query rows. Padded rows are masked to -inf so they can
+    never enter a top-k. Returns (scores (N,k), indices (N,k)) in global
+    corpus coordinates.
     """
     if mesh is None:
         from video_fingerprint_tpu.parallel.mesh import make_mesh
@@ -83,46 +160,14 @@ def sharded_topk_cosine(
         mesh = make_mesh(axis_name)
     d = mesh.shape[axis_name]
     n, dim = embeddings.shape
+    # clamp the query tile so tiny corpora don't pad to d*query_block rows
+    per_shard = (n + d - 1) // d
+    query_block = min(query_block, ((per_shard + 7) // 8) * 8)
     corpus, n_pad = _pad_rows(embeddings.astype(jnp.float32), d * query_block)
     shard_rows = n_pad // d
-    row_valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
 
     local_k = min(k, shard_rows)
-
-    def local_topk(corpus_shard, valid_shard, queries):
-        # corpus_shard: (shard_rows, D); queries: (n_pad, D) replicated.
-        my = jax.lax.axis_index(axis_name)
-        offset = my * shard_rows
-
-        def block_fn(q):
-            sims = jnp.dot(q, corpus_shard.T, precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
-            sims = jnp.where(valid_shard[None, :] > 0, sims, _NEG)
-            s, i = jax.lax.top_k(sims, local_k)
-            return s, i + offset
-
-        qb = queries.reshape(-1, query_block, dim)
-        s, i = jax.lax.map(block_fn, qb)
-        s = s.reshape(n_pad, local_k)
-        i = i.reshape(n_pad, local_k)
-        # gather all shards' candidates over ICI: (n_pad, d*local_k)
-        s_all = jax.lax.all_gather(s, axis_name, axis=1, tiled=True)
-        i_all = jax.lax.all_gather(i, axis_name, axis=1, tiled=True)
-        return s_all, i_all
-
-    from jax import shard_map
-
-    fn = shard_map(
-        local_topk,
-        mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    corpus_sharded = corpus  # (n_pad, D), rows split across devices by in_spec
-    s_all, i_all = jax.jit(fn)(corpus_sharded, row_valid, corpus)
-
-    kk = min(k, s_all.shape[1])
-    s_top, pos = jax.lax.top_k(s_all, kk)
-    i_top = jnp.take_along_axis(i_all, pos, axis=1)
-    return s_top[:n], i_top[:n]
+    kk = min(k, d * local_k)
+    fn = _ring_topk(mesh, axis_name, n_pad, dim, kk, local_k, query_block)
+    scores, idx = fn(corpus, jnp.asarray(n, jnp.int32))
+    return scores[:n], idx[:n]
