@@ -65,6 +65,47 @@ def test_corrupt_file_returns_none(tmp_path):
     assert nd.probe(bad) is None
 
 
+def test_eval_loader_native_matches_cv2(tmp_path):
+    """decode_backend='native' val loader produces the same clips as cv2
+    (swscale-vs-cv2 rounding tolerance), same masks/ids/order."""
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=3, num_frames=40, duplicates=0)
+    mk = lambda backend: create_dataloader(
+        tmp_path / "v", batch_size=2, num_workers=0, max_frames=32,
+        mode="val", model_type="attention", seed=0, decode_backend=backend,
+    )
+    batches_cv2 = list(mk("cv2"))
+    batches_nat = list(mk("native"))
+    assert len(batches_cv2) == len(batches_nat) > 0
+    for a, b in zip(batches_cv2, batches_nat):
+        np.testing.assert_array_equal(a["video_id"], b["video_id"])
+        np.testing.assert_array_equal(a["mask1"], b["mask1"])
+        np.testing.assert_array_equal(a["mask2"], b["mask2"])
+        for side in ("clip1", "clip2"):
+            assert a[side].shape == b[side].shape
+            diff = np.abs(
+                a[side].astype(np.int16) - b[side].astype(np.int16)
+            )
+            assert diff.mean() < 3.0, diff.mean()
+
+
+def test_train_mode_ignores_native_backend(tmp_path):
+    """Augmented training always uses full-res cv2 frames regardless of the
+    requested backend (native fuses the resize, which would skip the
+    degradation/crop augmentations)."""
+    from video_fingerprint_tpu.data.dataset import VideoFingerprintDataset
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=1, num_frames=30, duplicates=0)
+    ds = VideoFingerprintDataset(
+        tmp_path / "v", mode="train", model_type="attention",
+        decode_backend="native",
+    )
+    assert not ds._use_native
+
+
 def test_scanner_native_decode_equivalence(video, tmp_path):
     """--native_decode scan results match the cv2 scan to high cosine."""
     import jax

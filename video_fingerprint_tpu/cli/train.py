@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize forward activations in the backward "
                         "pass (jax.checkpoint): less HBM, one extra forward")
+    p.add_argument("--native_decode", action="store_true",
+                   help="C++ libav fused decode for eval-mode attention "
+                        "loads (falls back to cv2 when unavailable; train "
+                        "augmentation always uses cv2 full-res frames)")
     return p
 
 
@@ -160,6 +164,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         shard_index=shard_index,
         shard_count=shard_count,
+        decode_backend="native" if args.native_decode else "cv2",
     )
     val_loader = create_dataloader(
         args.data_dir,
@@ -176,6 +181,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         shard_index=shard_index,
         shard_count=shard_count,
+        decode_backend="native" if args.native_decode else "cv2",
     )
 
     if len(train_loader) == 0:

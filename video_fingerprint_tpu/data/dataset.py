@@ -48,6 +48,7 @@ class VideoFingerprintDataset:
         seed: int = 0,
         shard_index: int = 0,
         shard_count: int = 1,
+        decode_backend: str = "cv2",
     ):
         self.video_dir = Path(video_dir)
         self.frame_size = frame_size
@@ -61,6 +62,23 @@ class VideoFingerprintDataset:
         self.seed = seed
         self.cache_videos = cache_videos
         self._cache: Dict[str, List[np.ndarray]] = {}
+
+        # Native fused decode (C++ libav: demux->decode->scale->crop in one
+        # pass, no full-res RGB in Python) applies to eval-mode attention
+        # loads only: with augment=False the cv2 path is exactly
+        # short-side-resize + center-crop, which is what the worker fuses
+        # (reference dataset.py:109-158 + :227-244). Train-time augmentation
+        # needs full-resolution frames, and the 3D train resize uses
+        # different (aspect-preserving) semantics — both keep cv2.
+        self._use_native = False
+        self._native_cache: Dict[str, np.ndarray] = {}
+        if decode_backend == "native" and not augment and model_type == "attention":
+            from video_fingerprint_tpu.utils import native_decode as nd
+
+            self._nd = nd
+            self._use_native = nd.available()
+            if not self._use_native:
+                print("native decode requested but unavailable; using cv2")
 
         self.video_paths: List[Path] = []
         for ext in VIDEO_EXTENSIONS:
@@ -87,10 +105,22 @@ class VideoFingerprintDataset:
         print(f"Dataset mode: {model_type}, Total samples: {len(self)}")
 
     def _build_3d_clip_index(self) -> List[dict]:
-        """<=5 clips per long video for training (dataset.py:57-104)."""
+        """<=5 clips per long video for training (dataset.py:57-104).
+        Probes run in a thread pool (cv2 releases the GIL) — the reference's
+        serial per-video probe loop is an IO hot spot at corpus scale."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def probe_safe(path):
+            try:
+                return decode.probe(path)
+            except Exception:
+                return None
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            infos = list(pool.map(probe_safe, self.video_paths))
+
         samples = []
-        for video_id, path in enumerate(self.video_paths):
-            info = decode.probe(path)
+        for video_id, (path, info) in enumerate(zip(self.video_paths, infos)):
             if info is None:
                 continue
             total = info.total_frames
@@ -167,11 +197,38 @@ class VideoFingerprintDataset:
 
     def _get_attention(self, idx, rng):
         info = self.samples[idx]
+        if self._use_native:
+            sample = self._get_attention_native(info, rng)
+            if sample is not None:
+                return sample
         frames = self._load_full(info["path"], rng)
         s1, s2 = pairs.sample_extract_pair(
             len(frames), rng, self.min_extract_ratio, train=(self.mode == "train")
         )
         return self._finalize_pair(frames[s1], frames[s2], rng, info["video_id"])
+
+    def _get_attention_native(self, info, rng):
+        """Eval-mode fast path: frames arrive already resized/cropped from the
+        fused C++ worker, so the per-frame cv2 loop is skipped entirely.
+        Returns None on decode failure (cv2 fallback handles it)."""
+        key = str(info["path"])
+        clip = self._native_cache.get(key)
+        if clip is None:
+            clip = self._nd.decode_scan(
+                info["path"], self.max_frames, self.frame_size
+            )
+            if clip is None:
+                return None
+            if self.cache_videos and len(self._native_cache) < 100:
+                self._native_cache[key] = clip
+        s1, s2 = pairs.sample_extract_pair(
+            len(clip), rng, self.min_extract_ratio, train=(self.mode == "train")
+        )
+        return {
+            "clip1": np.ascontiguousarray(clip[s1]),
+            "clip2": np.ascontiguousarray(clip[s2]),
+            "video_id": np.int32(info["video_id"]),
+        }
 
     def _get_3d(self, idx, rng):
         info = self.samples[idx]
@@ -306,6 +363,7 @@ def create_dataloader(
     seed: int = 0,
     shard_index: int = 0,
     shard_count: int = 1,
+    decode_backend: str = "cv2",
 ) -> BucketedLoader:
     """Factory mirroring the reference signature (dataset.py:531-579)."""
     buckets = None
@@ -327,6 +385,7 @@ def create_dataloader(
         seed=seed,
         shard_index=shard_index,
         shard_count=shard_count,
+        decode_backend=decode_backend,
     )
     return BucketedLoader(
         dataset,

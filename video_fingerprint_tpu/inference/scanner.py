@@ -159,8 +159,10 @@ class FingerprintScanner:
 
         # Evenly-spaced segments, averaged WITHOUT re-normalization — the
         # reference's behaviour for the attention path (fingerprint.py:251-270).
+        # Segments share one length, so they forward as ONE batched call
+        # instead of the reference's batch=1 loop.
         segment_length = min(self.max_frames, len(frames) // num_segments)
-        embeddings = []
+        clips = []
         for i in range(num_segments):
             start = (
                 i * (len(frames) - segment_length) // (num_segments - 1)
@@ -168,9 +170,10 @@ class FingerprintScanner:
                 else 0
             )
             seg = frames[start : start + segment_length]
-            clip = preprocess.preprocess_frames(seg, self.frame_size)
-            embeddings.append(self._embed_clip(clip))
-        return np.mean(np.stack(embeddings), axis=0)
+            clips.append(preprocess.preprocess_frames(seg, self.frame_size))
+        x = jax.device_put(jnp.asarray(np.stack(clips)), self.device)
+        embeddings = np.asarray(self._fwd(self.variables, x))
+        return np.mean(embeddings, axis=0)
 
     def _extract_3d(self, video_path: Path):
         info = decode.probe(video_path)
@@ -369,10 +372,20 @@ class FingerprintScanner:
         # plan windows per video (same policy as _extract_3d). Videos shorter
         # than clip_length go through the sequential true-length path: zero-
         # padding them to the batch shape would add extra temporal positions
-        # the reference's pooling never sees (model.py:479-504).
+        # the reference's pooling never sees (model.py:479-504). Probing runs
+        # in the worker pool — a serial probe loop would idle the device for
+        # minutes on large corpora before the first batch dispatches.
+        def probe_safe(path):
+            try:
+                return decode.probe(path)
+            except Exception:
+                return None
+
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as probe_pool:
+            infos = list(probe_pool.map(probe_safe, video_paths))
+
         plans = []  # (path, [starts]) — starts None => failed, [] => sequential
-        for path in video_paths:
-            info = decode.probe(path)
+        for path, info in zip(video_paths, infos):
             if not info or info.total_frames < 10:
                 plans.append((path, None))
                 continue
