@@ -47,6 +47,14 @@ def gen_attention(out_dir: Path, torch, ref):
         "in_batch": torch.rand(4, 24, 3, 64, 64),
         "in_short": torch.rand(2, 10, 3, 64, 64),
     }
+    # Reference-semantics padded batch (VERDICT #8): collate zero-pads ragged
+    # clips to the batch max (reference dataset.py:495-528) and the model
+    # forwards them unmasked (model.py:272-298) — padding pollutes attention
+    # and pooling. Our mask=None path must reproduce that pollution exactly.
+    padded = torch.rand(3, 24, 3, 64, 64)
+    for i, true_len in enumerate([24, 16, 9]):
+        padded[i, true_len:] = 0.0
+    cases["in_padded"] = padded
     with torch.no_grad():
         for name, video in cases.items():
             emb = model(video)

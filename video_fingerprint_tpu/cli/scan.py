@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Disable bucketed batching (sequential batch=1)")
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (cosine vs f32 ~0.99998)")
+    parser.add_argument("--no_optimize", action="store_true",
+                        help="Disable the fused inference layout (BN folded "
+                             "into conv weights; lossless, on by default)")
     parser.add_argument("--native_decode", action="store_true",
                         help="Use the C++ libav decode worker (fused decode+"
                              "scale+crop; cv2 remains the default)")
@@ -73,6 +76,7 @@ def main(argv=None) -> int:
         args.model, device=args.device, batch_size=args.batch,
         native_preprocess=args.native_preprocess,
         native_decode=args.native_decode, bf16=args.bf16,
+        optimize=not args.no_optimize,
     )
 
     video_dir = Path(args.scan)

@@ -73,6 +73,7 @@ class FingerprintScanner:
         native_preprocess: bool = False,
         native_decode: bool = False,
         bf16: bool = False,
+        optimize: bool = True,
     ):
         self.batch_size = batch_size
         self.device = _pick_device(device)
@@ -93,9 +94,17 @@ class FingerprintScanner:
 
         print(f"Loading model from {model_path}...")
         self.variables, self.config = load_any(model_path)
-        self.variables = jax.device_put(self.variables, self.device)
-
         self.model_type = self.config.get("model_type", "attention")
+
+        # Lossless inference fusion (models/fuse.py): eval BN folded into conv
+        # weights. Bit-parity with the standard layout is gated by
+        # tests/test_fused_inference.py; disable with optimize=False.
+        self.fused = bool(optimize) and "batch_stats" in self.variables
+        if self.fused:
+            from video_fingerprint_tpu.models.fuse import fuse_variables
+
+            self.variables = fuse_variables(self.variables, self.model_type)
+        self.variables = jax.device_put(self.variables, self.device)
         self.frame_size = self.config.get("frame_size", 64)
         self.max_frames = self.config.get("max_frames", 500)
         self.clip_length = self.config.get("clip_length", 128)
@@ -110,6 +119,7 @@ class FingerprintScanner:
             embedding_dim=self.embedding_dim,
             num_attention_blocks=self.config.get("num_attention_blocks", 4),
             frame_stride=self.frame_stride,
+            fused=self.fused,
         )
         self.buckets = tuple(
             b for b in (buckets or SCAN_BUCKETS) if b < self.max_frames
@@ -127,6 +137,21 @@ class FingerprintScanner:
         self._fwd_masked = jax.jit(
             lambda v, x, m: self.model.apply(v, _norm(x), mask=m)
         )
+        # Attention forwards take frames pre-flattened to (B*T, H, W, C):
+        # reshaping the multi-GB 5-D video tensor in-graph costs two full-HBM
+        # relayout passes on TPU (profiled ~11ms per 512x128-frame batch);
+        # numpy's host-side reshape of the contiguous staging buffer is free.
+        # forward_flat normalizes uint8 internally (straight to compute dtype).
+        self._fwd_flat = jax.jit(
+            lambda v, x, b: self.model.apply(v, x, b, method="forward_flat"),
+            static_argnums=2,
+        )
+        self._fwd_flat_masked = jax.jit(
+            lambda v, x, b, m: self.model.apply(
+                v, x, b, mask=m, method="forward_flat"
+            ),
+            static_argnums=2,
+        )
 
         print(f"Model loaded - Type: {self.model_type}, Device: {self.device.platform}")
 
@@ -143,7 +168,10 @@ class FingerprintScanner:
         return self._extract_attention(video_path, num_segments)
 
     def _embed_clip(self, clip: np.ndarray) -> np.ndarray:
-        """(T, H, W, C) float32 -> (D,) embedding, single video."""
+        """(T, H, W, C) float32/uint8 -> (D,) embedding, single video."""
+        if self.model_type == "attention":
+            x = jax.device_put(jnp.asarray(clip), self.device)  # already flat
+            return np.asarray(self._fwd_flat(self.variables, x, 1))[0]
         x = jax.device_put(jnp.asarray(clip)[None], self.device)
         return np.asarray(self._fwd(self.variables, x))[0]
 
@@ -171,8 +199,11 @@ class FingerprintScanner:
             )
             seg = frames[start : start + segment_length]
             clips.append(preprocess.preprocess_frames(seg, self.frame_size))
-        x = jax.device_put(jnp.asarray(np.stack(clips)), self.device)
-        embeddings = np.asarray(self._fwd(self.variables, x))
+        stacked = np.stack(clips)
+        x = jax.device_put(
+            jnp.asarray(stacked.reshape((-1,) + stacked.shape[2:])), self.device
+        )
+        embeddings = np.asarray(self._fwd_flat(self.variables, x, len(clips)))
         return np.mean(embeddings, axis=0)
 
     def _extract_3d(self, video_path: Path):
@@ -336,9 +367,12 @@ class FingerprintScanner:
                 t = clip.shape[0]
                 clips[i, :t] = clip
                 masks[i, :t] = True
-            dev_embs = self._fwd_masked(
+            dev_embs = self._fwd_flat_masked(
                 self.variables,
-                jax.device_put(jnp.asarray(clips), self.device),
+                jax.device_put(
+                    jnp.asarray(clips.reshape((-1,) + clips.shape[2:])), self.device
+                ),
+                B,
                 jax.device_put(jnp.asarray(masks), self.device),
             )  # async dispatch
             pipeline.dispatch(items, dev_embs)

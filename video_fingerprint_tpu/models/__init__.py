@@ -41,6 +41,7 @@ def create_model(
             num_attention_blocks=kwargs.get("num_attention_blocks", 4),
             axis_name=axis_name,
             dtype=dtype,
+            fused=kwargs.get("fused", False),
         )
     elif model_type in ("3d", "cnn3d"):
         return VideoFingerprint3D(
@@ -49,5 +50,6 @@ def create_model(
             dropout=kwargs.get("dropout", 0.2),
             axis_name=axis_name,
             dtype=dtype,
+            fused=kwargs.get("fused", False),
         )
     raise ValueError(f"Unknown model type: {model_type}")

@@ -39,10 +39,14 @@ class VideoFingerprintAttention(nn.Module):
     num_heads: int = 8
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # Inference-only fused layout: BN folded into convs + space-to-depth
+    # first conv (models/fuse.py). Weights must come from fuse_variables().
+    fused: bool = False
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(
-            out_dim=self.spatial_dim, axis_name=self.axis_name, dtype=self.dtype
+            out_dim=self.spatial_dim, axis_name=self.axis_name, dtype=self.dtype,
+            fuse_bn=self.fused,
         )
         self.temporal_projection = TorchDense(features=self.temporal_dim, dtype=self.dtype)
         self.temporal_conv_blocks = [
@@ -51,6 +55,7 @@ class VideoFingerprintAttention(nn.Module):
                 kernel_sizes=(3, 5, 7, 11),
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                fuse_bn=self.fused,
             )
             for _ in range(2)
         ]
@@ -71,9 +76,18 @@ class VideoFingerprintAttention(nn.Module):
         )
 
     def encode_frames(self, frames: jax.Array, train: bool = False) -> jax.Array:
-        """(B, T, H, W, C) -> (B, T, spatial_dim). Reference model.py:228-237."""
+        """(B, T, H, W, C) -> (B, T, spatial_dim). Reference model.py:228-237.
+
+        uint8 input is normalized to [0,1] *after* the (B,T)->(B*T) flatten:
+        converting the 5-D tensor first makes XLA materialize it in one layout
+        and relayout+reshape it in two more full-HBM passes (profiled at ~11ms
+        of 57ms per 512x128-frame batch); converting the flattened view lets
+        the convert write directly in the conv input layout.
+        """
         B, T = frames.shape[0], frames.shape[1]
         flat = frames.reshape((B * T,) + frames.shape[2:])
+        if flat.dtype == jnp.uint8:
+            flat = flat.astype(self.dtype or jnp.float32) / 255.0
         feats = self.spatial_encoder(flat, train=train)
         return feats.reshape(B, T, self.spatial_dim)
 
@@ -113,6 +127,36 @@ class VideoFingerprintAttention(nn.Module):
             weights = jax.nn.softmax(logits, axis=1)
             weighted_pool = jnp.sum(features * weights * m, axis=1)
         return jnp.concatenate([avg_pool, max_pool, weighted_pool], axis=1)
+
+    def forward_flat(
+        self,
+        flat_frames: jax.Array,
+        batch_size: int,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """(B*T, H, W, C) pre-flattened frames -> (B, embedding_dim).
+
+        Identical math to __call__ on the (B, T, ...) view, but the caller
+        stages frames already flattened so the multi-GB video tensor is never
+        reshaped in-graph — on v5e the 5-D convert->relayout->reshape chain
+        around `encode_frames`'s flatten costs ~11ms of full-HBM passes per
+        512x128-frame batch (profiled); only the small (B*T, spatial_dim)
+        feature map gets reshaped here.
+        """
+        N = flat_frames.shape[0]
+        T = N // batch_size
+        if flat_frames.dtype == jnp.uint8:
+            flat_frames = flat_frames.astype(self.dtype or jnp.float32) / 255.0
+        feats = self.spatial_encoder(flat_frames, train=train)
+        feats = feats.reshape(batch_size, T, self.spatial_dim)
+        temporal_features = self.temporal_encoding(feats, train=train, mask=mask)
+        pooled = self.adaptive_pooling(temporal_features, mask=mask)
+        h = nn.relu(self.final_projection_1(pooled))
+        h = self.final_dropout(h, deterministic=not train)
+        embedding = self.final_projection_2(h).astype(jnp.float32)
+        norm = jnp.linalg.norm(embedding, axis=1, keepdims=True)
+        return embedding / jnp.maximum(norm, 1e-12)
 
     def __call__(
         self,

@@ -31,6 +31,8 @@ class VideoFingerprint3D(nn.Module):
     dropout: float = 0.2
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # Inference-only layout: eval BN folded into conv weights (models/fuse.py).
+    fused: bool = False
 
     def setup(self):
         s = self.frame_stride
@@ -38,19 +40,19 @@ class VideoFingerprint3D(nn.Module):
         # actual channels are 16/32/64/128 — we follow the code).
         self.block0 = Conv3DBlock(
             features=16, kernel_size=(s, 5, 5), strides=(s, 2, 2), padding=(0, 2, 2),
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, fuse_bn=self.fused,
         )
         self.block1 = Conv3DBlock(
             features=32, kernel_size=(3, 3, 3), strides=(1, 2, 2), padding=(1, 1, 1),
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, fuse_bn=self.fused,
         )
         self.block2 = Conv3DBlock(
             features=64, kernel_size=(3, 3, 3), strides=(2, 2, 2), padding=(1, 1, 1),
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, fuse_bn=self.fused,
         )
         self.block3 = Conv3DBlock(
             features=128, kernel_size=(3, 3, 3), strides=(1, 2, 2), padding=(1, 1, 1),
-            axis_name=self.axis_name, dtype=self.dtype,
+            axis_name=self.axis_name, dtype=self.dtype, fuse_bn=self.fused,
         )
         # temporal aggregation (reference model.py:442-443): Conv1d(128,128,k3,p1)
         # uses the *torch-default* init (the custom _initialize_weights only
@@ -81,6 +83,8 @@ class VideoFingerprint3D(nn.Module):
         Reference forward: model.py:472-512.
         """
         B, T = video.shape[0], video.shape[1]
+        if video.dtype == jnp.uint8:  # on-device normalize (see attention.py)
+            video = video.astype(self.dtype or jnp.float32) / 255.0
         pad = (self.frame_stride - T % self.frame_stride) % self.frame_stride
         if pad > 0:
             video = jnp.pad(video, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))

@@ -226,27 +226,45 @@ def positional_encoding(x: jax.Array) -> jax.Array:
 
 
 class SpatialEncoder(nn.Module):
-    """4x stride-2 conv stack + global avg pool + linear. Input: (N, H, W, 3)."""
+    """4x stride-2 conv stack + global avg pool + linear. Input: (N, H, W, 3).
+
+    fuse_bn=True selects the lossless inference layout (models/fuse.py):
+    eval-mode BN folded into conv weights (no bn modules) and the first conv
+    rewritten as space-to-depth — (N,H,W,3) -> (N,H/2,W/2,12) with a 3x3
+    stride-1 kernel scattered from the 5x5 stride-2 one — which widens the
+    MXU contraction dim from 5*5*3=75 to 3*3*12=108 lanes. Weights come from
+    `fuse.fuse_variables`, never from init.
+    """
 
     out_dim: int = 128
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    fuse_bn: bool = False
+    s2d: bool = False  # measured loss on v5e; see fuse.fuse_variables docstring
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         specs = [(32, 5, 2), (64, 3, 1), (128, 3, 1), (256, 3, 1)]
+        if self.s2d:
+            n, h, w, c = x.shape
+            x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+            specs[0] = (32, 3, 1)
         for i, (ch, k, p) in enumerate(specs):
+            stride = 1 if (self.s2d and i == 0) else 2
             x = TorchConv(
                 features=ch,
                 kernel_size=(k, k),
-                strides=(2, 2),
+                strides=(stride, stride),
                 padding=(p, p),
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = TorchBatchNorm(
-                features=ch, axis_name=self.axis_name, dtype=self.dtype, name=f"bn{i}"
-            )(x, use_running_average=not train)
+            if not self.fuse_bn:
+                x = TorchBatchNorm(
+                    features=ch, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"bn{i}",
+                )(x, use_running_average=not train)
             x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
         x = TorchDense(features=self.out_dim, dtype=self.dtype, name="proj")(x)
@@ -371,6 +389,7 @@ class TemporalConvBlock(nn.Module):
     kernel_sizes: Sequence[int] = (3, 5, 7, 11)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    fuse_bn: bool = False  # eval BN pre-folded into conv weights (fuse.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -391,10 +410,11 @@ class TemporalConvBlock(nn.Module):
                 dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            h = TorchBatchNorm(
-                features=branch_dim, axis_name=self.axis_name, dtype=self.dtype,
-                name=f"bn{i}",
-            )(h, use_running_average=not train)
+            if not self.fuse_bn:
+                h = TorchBatchNorm(
+                    features=branch_dim, axis_name=self.axis_name, dtype=self.dtype,
+                    name=f"bn{i}",
+                )(h, use_running_average=not train)
             outs.append(nn.relu(h))
         return jnp.concatenate(outs, axis=-1)
 
@@ -413,6 +433,7 @@ class Conv3DBlock(nn.Module):
     padding: Sequence[int] = (0, 0, 0)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    fuse_bn: bool = False  # eval BN pre-folded into conv weights (fuse.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -426,7 +447,9 @@ class Conv3DBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = TorchBatchNorm(
-            features=self.features, axis_name=self.axis_name, dtype=self.dtype, name="bn"
-        )(x, use_running_average=not train)
+        if not self.fuse_bn:
+            x = TorchBatchNorm(
+                features=self.features, axis_name=self.axis_name, dtype=self.dtype,
+                name="bn",
+            )(x, use_running_average=not train)
         return nn.relu(x)
