@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_corrupt_video_skipped_in_scan(tmp_path):
     """A garbage file with a video extension is skipped and counted as a
     failure (fingerprint.py:371-374 semantics), not a crash."""

@@ -5,6 +5,7 @@ import sys
 
 import jax
 import numpy as np
+import pytest
 
 from tests.conftest import REPO_ROOT
 
@@ -23,6 +24,7 @@ def test_entry_compiles_and_runs():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out)), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge = _module()
     ge.dryrun_multichip(8)  # asserts internally (finite loss, 8 devices)

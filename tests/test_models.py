@@ -83,6 +83,7 @@ def test_3d_temporal_padding_consistency():
     np.testing.assert_allclose(np.asarray(emb_a), np.asarray(emb_b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     model = create_model("attention")
     video = jax.random.uniform(jax.random.PRNGKey(5), (2, 8, 64, 64, 3))

@@ -3,8 +3,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_remat_matches_plain():
     from video_fingerprint_tpu.models import create_model
     from video_fingerprint_tpu.training.optim import make_optimizer

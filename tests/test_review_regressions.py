@@ -52,6 +52,7 @@ def test_extracts_never_all_padding():
         assert bool(jnp.all(jnp.sum(effective, axis=1) > 0)), seed
 
 
+@pytest.mark.slow
 def test_train_step_mixed_lengths_finite():
     """End-to-end: mixed-length masked batch produces finite loss/grads."""
     from video_fingerprint_tpu.models import create_model
@@ -92,6 +93,7 @@ def test_temporal_conv_block_validates_kernel_count():
         block.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 256)))
 
 
+@pytest.mark.slow
 def test_validate_partial_batch_multi_device(tmp_path):
     """Val loader's trailing partial batch on a multi-device mesh."""
     from video_fingerprint_tpu.data.dataset import create_dataloader

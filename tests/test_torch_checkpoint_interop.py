@@ -67,6 +67,7 @@ def test_scanner_loads_pth_directly(torch_ckpt):
     assert cos > 0.9999, cos
 
 
+@pytest.mark.slow
 def test_convert_cli_roundtrip(torch_ckpt, tmp_path):
     import jax.numpy as jnp
 

@@ -31,7 +31,10 @@ def _make(model_type, B=2, T=8, hw=32):
     return model, state, step, batch
 
 
-@pytest.mark.parametrize("model_type", ["attention", "3d"])
+@pytest.mark.parametrize("model_type", [
+    pytest.param("attention", marks=pytest.mark.slow),  # 42s cold; 3d (14s)
+    "3d",                                               # keeps fast coverage
+])
 def test_train_step_updates(model_type):
     _, state, step, batch = _make(model_type)
     jstep = jax.jit(step)
@@ -54,6 +57,7 @@ def test_train_step_updates(model_type):
     assert diff > 0
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_matches_single():
     """DP-sharded step over the 8-device mesh: runs, and grads/params equal
     the single-device result (GSPMD global semantics incl. sync-BN)."""
