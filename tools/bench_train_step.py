@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 model compute (the train CLI's --bf16)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,7 +48,9 @@ def main():
 
     dev = jax.devices()[0]
     B, T, HW = args.batch, args.frames, 64
-    model = create_model("attention")
+    model = create_model(
+        "attention", dtype=jnp.bfloat16 if args.bf16 else None
+    )
     state = init_train_state(
         model, None, jax.random.PRNGKey(0), (1, 8, HW, HW, 3)
     )
