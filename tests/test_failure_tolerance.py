@@ -92,3 +92,27 @@ def test_attention_segment_averaging_quirk(monkeypatch, tmp_path):
         expected_segs.append(sc._embed_clip(clip))
     expected = np.mean(np.stack(expected_segs), axis=0)
     np.testing.assert_allclose(emb, expected, atol=1e-6)
+
+
+def test_probe_systemic_failure_raises(tmp_path, monkeypatch):
+    """Per-video probe failures degrade to exclusion (with a warning), but a
+    systemic decode fault — every probe raising — must fail loudly instead of
+    silently producing an empty/tiny 3D training index."""
+    import pytest
+
+    from video_fingerprint_tpu.data import dataset as ds_mod
+    from video_fingerprint_tpu.data import decode
+
+    d = tmp_path / "videos"
+    d.mkdir()
+    (d / "a.mp4").write_bytes(b"x")
+    (d / "b.mp4").write_bytes(b"y")
+
+    def broken_probe(path):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(decode, "probe", broken_probe)
+    with pytest.raises(RuntimeError, match="decode backend"):
+        ds_mod.VideoFingerprintDataset(
+            d, model_type="3d", clip_length=8, frame_stride=4
+        )

@@ -125,3 +125,15 @@ def test_cli_smoke(ckpt_path, corpus, tmp_path, capsys):
     assert results["metadata"]["total_videos"] == 6
     captured = capsys.readouterr()
     assert "DUPLICATE REPORT" in captured.out
+
+
+def test_warmup_compiles_scan_program(scanner, corpus):
+    """warmup() pre-compiles the exact masked bucketed program the batched
+    scan dispatches — a scan after warmup must hit the jit cache (no new
+    compile) and produce identical results."""
+    d, _ = corpus
+    scanner.warmup(40)  # bucket covering the corpus' 40-frame videos
+    misses_before = scanner._fwd_flat_masked._cache_size()
+    bat = scanner.scan_directory(d, num_workers=2, batched=True)
+    assert scanner._fwd_flat_masked._cache_size() == misses_before
+    assert len(bat) == 6

@@ -83,11 +83,10 @@ def run(
         str(ckpt), device=device, batch_size=batch,
         native_decode=native_decode, bf16=bf16,
     )
-    # Warm the per-bucket compiled programs on a couple of files so the
-    # measured window is scan throughput, not XLA compile time.
-    warm = sorted(corpus.glob("video_0*.mp4"))[:2]
-    for p in warm:
-        scanner.extract_fingerprint(p)
+    # Compile the exact bucketed masked program the batched scan dispatches
+    # (scanner.warmup), so the measured window is scan throughput, not XLA
+    # compile time (0.5-3 min per shape through a remote-compile tunnel).
+    scanner.warmup(num_frames)
 
     t0 = time.perf_counter()
     fingerprints = scanner.scan_directory(
@@ -119,12 +118,14 @@ def main():
     ap.add_argument("--native-decode", action="store_true")
     ap.add_argument("--threshold", type=float, default=0.95)
     ap.add_argument("--cache-dir", default="/tmp/vfp_e2e_bench")
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 compute (default is bf16, the production config)")
     args = ap.parse_args()
     result = run(
         num_videos=args.videos, num_frames=args.frames, device=args.device,
         workers=args.workers, batch=args.batch,
         native_decode=args.native_decode, threshold=args.threshold,
-        cache_dir=Path(args.cache_dir),
+        cache_dir=Path(args.cache_dir), bf16=not args.f32,
     )
     print(json.dumps(result))
 

@@ -7,7 +7,7 @@ layout variants, each as its own jitted program with chip-resident inputs and
 a scalar-reduced output (so the ~30ms-RTT dev tunnel costs one small D2H per
 call instead of a 32MB embedding pull).
 
-Usage:  python tools/profile_extraction.py [--bf16-only] [--trace DIR]
+Usage:  python tools/profile_extraction.py [--trace DIR]
 With --trace, also captures a jax.profiler xplane trace of the full forward.
 """
 

@@ -119,6 +119,18 @@ class VideoFingerprintDataset:
         with ThreadPoolExecutor(max_workers=8) as pool:
             infos = list(pool.map(probe_safe, self.video_paths))
 
+        # per-video probe failures degrade gracefully (the video is excluded,
+        # like the reference's per-video try/except), but a systemic decode
+        # fault must fail loudly, not yield a silently tiny training set.
+        n_failed = sum(1 for i in infos if i is None)
+        if n_failed:
+            print(f"WARNING: {n_failed}/{len(infos)} videos failed the "
+                  f"frame-count probe and are excluded from the 3D clip index")
+        if infos and n_failed == len(infos):
+            raise RuntimeError(
+                "every video failed decode.probe — decode backend broken?"
+            )
+
         samples = []
         for video_id, (path, info) in enumerate(zip(self.video_paths, infos)):
             if info is None:

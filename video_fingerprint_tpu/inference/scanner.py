@@ -155,6 +155,46 @@ class FingerprintScanner:
 
         print(f"Model loaded - Type: {self.model_type}, Device: {self.device.platform}")
 
+    def warmup(self, num_frames: Optional[int] = None) -> None:
+        """Compile the batched-scan program(s) before the production window.
+
+        Compiles the masked bucketed forward — the exact program
+        `_scan_batched.flush` dispatches — for the bucket covering
+        `num_frames` (every bucket when None). First compiles cost 0.5-3 min
+        each through a remote-compile tunnel and would otherwise land inside
+        the first scan's timed window. Attention model only: the 3D scan
+        compiles one fixed (batch, clip_length) shape on first dispatch.
+        """
+        if self.model_type != "attention":
+            return
+        if num_frames is None:
+            buckets = self.buckets
+        else:
+            buckets = (preprocess.bucket_for_length(
+                min(num_frames, self.max_frames), self.buckets),)
+        # must match flush()'s staged dtype: uint8 on the cv2 path, float32
+        # from the native decode/preprocess fast paths.
+        dtype = (
+            np.float32 if (self.native_decode or self.native_preprocess)
+            else np.uint8
+        )
+        B = self.batch_size
+        for bucket in buckets:
+            clips = np.zeros(
+                (B, bucket, self.frame_size, self.frame_size, 3), dtype
+            )
+            masks = np.zeros((B, bucket), bool)
+            masks[:, 0] = True
+            np.asarray(self._fwd_flat_masked(
+                self.variables,
+                jax.device_put(
+                    jnp.asarray(clips.reshape((-1,) + clips.shape[2:])),
+                    self.device,
+                ),
+                B,
+                jax.device_put(jnp.asarray(masks), self.device),
+            ))
+
     # ------------------------------------------------------------------
     # Single-video extraction (reference fingerprint.py:216-320)
     # ------------------------------------------------------------------

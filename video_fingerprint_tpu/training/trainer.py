@@ -153,8 +153,11 @@ class Trainer:
         self.step_rng = self.dp.replicate(jax.random.PRNGKey(config.get("seed", 0) + 1))
 
         self.checkpoint_dir = self.run_dir / "checkpoints"
-        if self.is_main:
-            self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        # every process creates the (idempotent) directory: Orbax saves are
+        # collective across ranks and on a non-shared filesystem each rank
+        # needs the path locally; run-dir *artifacts* (TB, logs, config)
+        # remain process-0-only.
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         self.writer = (
             _make_tb_writer(self.run_dir / "tensorboard")
             if self.is_main
@@ -245,6 +248,7 @@ class Trainer:
                 pass
 
         last_t = time.time()
+        last_sync_batches = 0
         for batch in loader:
             if profile_window and num_batches == profile_window[0]:
                 jax.profiler.start_trace(str(self.run_dir / "profile"))
@@ -265,6 +269,10 @@ class Trainer:
                 loss = float(metrics["loss"])
                 acc = float(metrics["acc"])
                 dt = time.time() - last_t
+                # the sync fires on global_step % metrics_every, but the
+                # window may span fewer batches (epoch boundary, resume at an
+                # unaligned step) — divide by the batches actually run.
+                window = max(1, num_batches - last_sync_batches)
                 lr = current_lr(
                     self.model_type, self.config["learning_rate"],
                     self.global_step, self.total_steps,
@@ -276,12 +284,13 @@ class Trainer:
                         "triplet":
                             f"{float(metrics.get('loss_triplet', 0)):.3f}",
                         "lr": f"{lr:.2e}",
-                        "time": f"{dt / metrics_every:.2f}s",
+                        "time": f"{dt / window:.2f}s",
                     })
                 self.writer.add_scalar("Train/loss_step", loss, self.global_step)
                 self.writer.add_scalar("Train/acc_step", acc, self.global_step)
                 self.writer.add_scalar("Train/lr", lr, self.global_step)
                 last_t = time.time()
+                last_sync_batches = num_batches
             self.global_step += 1
             if profiling and num_batches >= profile_window[1]:
                 jax.profiler.stop_trace()
