@@ -142,3 +142,30 @@ def test_space_to_depth_kernel_is_exact():
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_bf16_3d_torch_golden():
+    """The 3D fused layout (+ bf16) clears the cosine gate vs torch goldens."""
+    from tests.conftest import FIXTURE_DIR
+    from video_fingerprint_tpu.utils.torch_compat import state_dict_to_variables
+
+    fx = FIXTURE_DIR / "cnn3d_parity.npz"
+    if not fx.exists():
+        pytest.skip("torch fixtures unavailable")
+    z = np.load(fx)
+    sd = {k[4:]: z[k] for k in z.files if k.startswith("sd::")}
+    variables = state_dict_to_variables(sd, "3d")
+    fused_vars = fuse_variables(variables, "3d")
+
+    for dtype, gate in [(None, 0.99999), (jnp.bfloat16, 0.999)]:
+        fm = create_model("3d", frame_stride=16, fused=True, dtype=dtype)
+        fwd = jax.jit(fm.apply)
+        for case in [k for k in z.files if k.startswith("in_")]:
+            video = jnp.asarray(z[case]).transpose(0, 1, 3, 4, 2)
+            emb = np.asarray(fwd(fused_vars, video))
+            ref = z[case.replace("in_", "out_")]
+            cos = np.sum(emb * ref, axis=1) / (
+                np.linalg.norm(emb, axis=1) * np.linalg.norm(ref, axis=1)
+            )
+            assert cos.min() > gate, f"{case} dtype={dtype} cos={cos.min()}"

@@ -137,3 +137,41 @@ def test_warmup_compiles_scan_program(scanner, corpus):
     bat = scanner.scan_directory(d, num_workers=2, batched=True)
     assert scanner._fwd_flat_masked._cache_size() == misses_before
     assert len(bat) == 6
+
+
+def test_incremental_scan_index(scanner, corpus, tmp_path, monkeypatch):
+    """--index semantics: unchanged files are reused without decode; changed
+    files re-scan; round-tripped cache equals a fresh scan."""
+    from video_fingerprint_tpu.data import decode
+    from video_fingerprint_tpu.inference.scan_cache import load_cache, save_cache
+
+    d, paths = corpus
+    full = scanner.scan_directory(d, num_workers=2, batched=True)
+    idx = tmp_path / "scan_index.npz"
+    save_cache(idx, full)
+    cache = load_cache(idx)
+    assert set(cache) == set(full)
+
+    # unchanged corpus: zero decodes
+    calls = []
+    real = decode.decode_subsampled
+    monkeypatch.setattr(
+        decode, "decode_subsampled",
+        lambda *a, **k: (calls.append(a[0]), real(*a, **k))[1],
+    )
+    again = scanner.scan_directory(d, num_workers=2, batched=True, cache=cache)
+    assert calls == []
+    assert set(again) == set(full)
+    for p in full:
+        assert float(np.dot(again[p]["embedding"], full[p]["embedding"])) > 0.9999
+
+    # touch one file's bytes -> only that file decodes again
+    victim = sorted(p for p in full)[0]
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        # flip a byte inside the hashed 1-MiB prefix (same size, new md5);
+        # an offset past the mp4 header keeps the file decodable
+        f.write(data[:200] + bytes([data[200] ^ 0xFF]) + data[201:])
+    third = scanner.scan_directory(d, num_workers=2, batched=True, cache=cache)
+    assert [str(c) for c in calls] == [victim]
+    assert set(third) == set(full)

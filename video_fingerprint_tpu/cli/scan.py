@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use the C++ host preprocess runtime (fast path; cv2 is "
                              "the bit-exact default; superseded by "
                              "--native_decode in batched scans)")
+    parser.add_argument("--index", type=str,
+                        help="Persistent scan index (.npz): reuse fingerprints "
+                             "for unchanged files (size + content hash) and "
+                             "save the updated index after the scan")
     return parser
 
 
@@ -84,15 +88,31 @@ def main(argv=None) -> int:
         print(f"Error: Folder {video_dir} does not exist")
         return 1
 
+    cache = None
+    if args.index:
+        from video_fingerprint_tpu.inference.scan_cache import load_cache
+
+        cache = load_cache(args.index)
+        if cache:
+            print(f"Loaded scan index with {len(cache)} fingerprints "
+                  f"from {args.index}")
+
     fingerprints = scanner.scan_directory(
         video_dir,
         extensions=args.extensions,
         num_workers=args.workers,
         batched=not args.no_batched,
+        cache=cache,
     )
     if not fingerprints:
         print("No videos could be analyzed")
         return 1
+
+    if args.index:
+        from video_fingerprint_tpu.inference.scan_cache import save_cache
+
+        save_cache(args.index, fingerprints)
+        print(f"Scan index saved to {args.index}")
 
     duplicate_groups = scanner.find_duplicates(
         fingerprints, similarity_threshold=args.threshold

@@ -286,6 +286,7 @@ class FingerprintScanner:
         extensions: Optional[List[str]] = None,
         num_workers: int = 4,
         batched: bool = True,
+        cache: Optional[Dict[str, dict]] = None,
     ) -> Dict[str, dict]:
         directory = Path(directory)
         extensions = extensions or DEFAULT_EXTENSIONS
@@ -295,6 +296,28 @@ class FingerprintScanner:
             video_paths.extend(directory.glob(f"**/*{ext.upper()}"))
         video_paths = sorted(set(video_paths))
         print(f"\n{len(video_paths)} videos found in {directory}")
+
+        # incremental scan (beyond-reference, inference/scan_cache.py): reuse
+        # a prior fingerprint when size AND content hash (md5 of the first
+        # 1 MiB — the reference's identity, fingerprint.py:436-448) match;
+        # only new/changed files go through decode + the model.
+        cached_hits: Dict[str, dict] = {}
+        if cache:
+            remaining: List[Path] = []
+            for p in video_paths:
+                entry = cache.get(str(p))
+                if (
+                    entry is not None
+                    and p.stat().st_size == entry.get("size")
+                    and compute_file_hash(p, max_bytes=1024 * 1024)
+                    == entry.get("file_hash")
+                ):
+                    cached_hits[str(p)] = entry
+                else:
+                    remaining.append(p)
+            print(f"{len(cached_hits)} unchanged (index hit), "
+                  f"{len(remaining)} to scan")
+            video_paths = remaining
 
         start = time.time()
         if batched and self.model_type == "attention":
@@ -309,6 +332,7 @@ class FingerprintScanner:
                 f"Processed {len(fingerprints)} videos in {elapsed:.1f}s "
                 f"({len(fingerprints) / max(elapsed, 1e-9):.2f} videos/s, {failed} failures)"
             )
+        fingerprints.update(cached_hits)
         return fingerprints
 
     def _metadata(self, video_path: Path, embedding: np.ndarray) -> dict:
