@@ -175,3 +175,28 @@ def test_incremental_scan_index(scanner, corpus, tmp_path, monkeypatch):
     third = scanner.scan_directory(d, num_workers=2, batched=True, cache=cache)
     assert [str(c) for c in calls] == [victim]
     assert set(third) == set(full)
+
+
+def test_data_parallel_scan_equals_single(ckpt_path, corpus):
+    """--data_parallel: batched extraction sharded over the 8-device mesh
+    must equal the single-device scan (pure DP, no semantic change)."""
+    import jax
+
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    assert len(jax.devices()) == 8  # conftest's virtual CPU mesh
+    dp = FingerprintScanner(ckpt_path, device="cpu", batch_size=4,
+                            buckets=(32, 64), data_parallel=True)
+    assert dp.mesh is not None and dp.batch_size == 8  # padded to the mesh
+    single = FingerprintScanner(ckpt_path, device="cpu", batch_size=4,
+                                buckets=(32, 64))
+    d, _ = corpus
+    a = dp.scan_directory(d, num_workers=2, batched=True)
+    b = single.scan_directory(d, num_workers=2, batched=True)
+    assert set(a) == set(b)
+    for p in a:
+        cos = float(np.dot(a[p]["embedding"], b[p]["embedding"]))
+        assert cos > 0.9999, (p, cos)
+    # the single-video path still works in DP mode (separate placement)
+    one = dp.extract_fingerprint(sorted(d.glob("*.mp4"))[1])
+    assert one is not None and np.isfinite(one).all()

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use the C++ host preprocess runtime (fast path; cv2 is "
                              "the bit-exact default; superseded by "
                              "--native_decode in batched scans)")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="Shard batched extraction over every device of "
+                             "the platform (Mesh(('data',)); single-chip "
+                             "boxes fall back to one device)")
     parser.add_argument("--index", type=str,
                         help="Persistent scan index (.npz): reuse fingerprints "
                              "for unchanged files (size + content hash) and "
@@ -80,7 +84,7 @@ def main(argv=None) -> int:
         args.model, device=args.device, batch_size=args.batch,
         native_preprocess=args.native_preprocess,
         native_decode=args.native_decode, bf16=args.bf16,
-        optimize=not args.no_optimize,
+        optimize=not args.no_optimize, data_parallel=args.data_parallel,
     )
 
     video_dir = Path(args.scan)

@@ -74,6 +74,7 @@ class FingerprintScanner:
         native_decode: bool = False,
         bf16: bool = False,
         optimize: bool = True,
+        data_parallel: bool = False,
     ):
         self.batch_size = batch_size
         self.device = _pick_device(device)
@@ -105,6 +106,10 @@ class FingerprintScanner:
 
             self.variables = fuse_variables(self.variables, self.model_type)
         self.variables = jax.device_put(self.variables, self.device)
+        # single-device copy for the sequential / single-video programs; in
+        # data-parallel mode self.variables becomes mesh-replicated and the
+        # two placements must not mix inside one jitted call.
+        self._variables_single = self.variables
         self.frame_size = self.config.get("frame_size", 64)
         self.max_frames = self.config.get("max_frames", 500)
         self.clip_length = self.config.get("clip_length", 128)
@@ -153,6 +158,41 @@ class FingerprintScanner:
             static_argnums=2,
         )
 
+        # Data-parallel batched extraction: the bucketed program is jitted
+        # with the batch sharded over a Mesh(('data',)) of every device on
+        # the platform — each chip forwards batch_size/n videos, embeddings
+        # come back replicated. GSPMD needs no collectives in this forward
+        # (pure DP), so throughput scales linearly over ICI. Single-video /
+        # sequential paths stay on one device (B=1 cannot shard).
+        self.mesh = None
+        self._batch_placement = self.device  # where flush()/warmup() stage inputs
+        if data_parallel and self.model_type == "attention":
+            devs = jax.devices(self.device.platform)
+            if len(devs) > 1:
+                from video_fingerprint_tpu.parallel.mesh import (
+                    batch_sharded, make_mesh, pad_to_multiple, replicated,
+                )
+
+                self.mesh = make_mesh("data", devs)
+                self.batch_size = pad_to_multiple(self.batch_size, len(devs))
+                repl = replicated(self.mesh)
+                bsh = batch_sharded(self.mesh)
+                # (B*T, H, W, C) rows shard on dim 0; B % n == 0 keeps the
+                # split on video boundaries so the (B, T, ...) view inside
+                # forward_flat stays batch-sharded.
+                self.variables = jax.device_put(self.variables, repl)
+                self._batch_placement = bsh
+                self._fwd_flat_masked = jax.jit(
+                    lambda v, x, b, m: self.model.apply(
+                        v, x, b, mask=m, method="forward_flat"
+                    ),
+                    static_argnums=2,
+                    in_shardings=(repl, bsh, bsh),
+                    out_shardings=repl,
+                )
+                print(f"Data-parallel extraction over {len(devs)} devices "
+                      f"(batch {self.batch_size})")
+
         print(f"Model loaded - Type: {self.model_type}, Device: {self.device.platform}")
 
     def warmup(self, num_frames: Optional[int] = None) -> None:
@@ -189,10 +229,10 @@ class FingerprintScanner:
                 self.variables,
                 jax.device_put(
                     jnp.asarray(clips.reshape((-1,) + clips.shape[2:])),
-                    self.device,
+                    self._batch_placement,
                 ),
                 B,
-                jax.device_put(jnp.asarray(masks), self.device),
+                jax.device_put(jnp.asarray(masks), self._batch_placement),
             ))
 
     # ------------------------------------------------------------------
@@ -211,9 +251,9 @@ class FingerprintScanner:
         """(T, H, W, C) float32/uint8 -> (D,) embedding, single video."""
         if self.model_type == "attention":
             x = jax.device_put(jnp.asarray(clip), self.device)  # already flat
-            return np.asarray(self._fwd_flat(self.variables, x, 1))[0]
+            return np.asarray(self._fwd_flat(self._variables_single, x, 1))[0]
         x = jax.device_put(jnp.asarray(clip)[None], self.device)
-        return np.asarray(self._fwd(self.variables, x))[0]
+        return np.asarray(self._fwd(self._variables_single, x))[0]
 
     def _extract_attention(self, video_path: Path, num_segments: int = 3):
         frames = decode.decode_subsampled(video_path, self.max_frames)
@@ -243,7 +283,9 @@ class FingerprintScanner:
         x = jax.device_put(
             jnp.asarray(stacked.reshape((-1,) + stacked.shape[2:])), self.device
         )
-        embeddings = np.asarray(self._fwd_flat(self.variables, x, len(clips)))
+        embeddings = np.asarray(
+            self._fwd_flat(self._variables_single, x, len(clips))
+        )
         return np.mean(embeddings, axis=0)
 
     def _extract_3d(self, video_path: Path):
@@ -434,10 +476,11 @@ class FingerprintScanner:
             dev_embs = self._fwd_flat_masked(
                 self.variables,
                 jax.device_put(
-                    jnp.asarray(clips.reshape((-1,) + clips.shape[2:])), self.device
+                    jnp.asarray(clips.reshape((-1,) + clips.shape[2:])),
+                    self._batch_placement,
                 ),
                 B,
-                jax.device_put(jnp.asarray(masks), self.device),
+                jax.device_put(jnp.asarray(masks), self._batch_placement),
             )  # async dispatch
             pipeline.dispatch(items, dev_embs)
             pending[bucket] = []
