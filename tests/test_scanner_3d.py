@@ -52,3 +52,34 @@ def test_3d_short_video_handled(scanner3d, corpus3d):
     short = [v for k, v in bat.items() if "short" in k]
     assert len(short) == 1
     assert short[0]["embedding_norm"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_3d_data_parallel_equals_single(scanner3d, corpus3d, tmp_path_factory):
+    """3D --data_parallel: window batches sharded over the 8-device mesh must
+    equal the single-device batched scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+
+    model = create_model("3d", frame_stride=4)
+    variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 64, 64, 3)))
+    config = {
+        "model_type": "3d", "frame_size": 64, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256,
+    }
+    path = tmp_path_factory.mktemp("ckpt3ddp") / "m.ckpt"
+    save_checkpoint(path, variables["params"], variables["batch_stats"], config)
+    dp = FingerprintScanner(str(path), device="cpu", batch_size=4,
+                            data_parallel=True)
+    assert dp.mesh is not None and dp.batch_size == 8
+
+    a = dp.scan_directory(corpus3d, num_workers=2, batched=True)
+    b = scanner3d.scan_directory(corpus3d, num_workers=2, batched=True)
+    assert set(a) == set(b)
+    for p in a:
+        ea, eb = a[p]["embedding"], b[p]["embedding"]
+        cos = float(np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)))
+        assert cos > 0.9999, (p, cos)

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use the C++ host preprocess runtime (fast path; cv2 is "
                              "the bit-exact default; superseded by "
                              "--native_decode in batched scans)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="Pre-compile the batched extraction programs "
+                             "before scanning (first compiles can take "
+                             "minutes per shape on remote-compile setups)")
     parser.add_argument("--data_parallel", action="store_true",
                         help="Shard batched extraction over every device of "
                              "the platform (Mesh(('data',)); single-chip "
@@ -91,6 +95,10 @@ def main(argv=None) -> int:
     if not video_dir.exists():
         print(f"Error: Folder {video_dir} does not exist")
         return 1
+
+    if args.warmup:
+        print("Warming up batched extraction programs...")
+        scanner.warmup()
 
     cache = None
     if args.index:

@@ -166,7 +166,8 @@ class FingerprintScanner:
         # sequential paths stay on one device (B=1 cannot shard).
         self.mesh = None
         self._batch_placement = self.device  # where flush()/warmup() stage inputs
-        if data_parallel and self.model_type == "attention":
+        self._fwd_batched = self._fwd  # the 3D batched-scan program
+        if data_parallel:
             devs = jax.devices(self.device.platform)
             if len(devs) > 1:
                 from video_fingerprint_tpu.parallel.mesh import (
@@ -177,19 +178,28 @@ class FingerprintScanner:
                 self.batch_size = pad_to_multiple(self.batch_size, len(devs))
                 repl = replicated(self.mesh)
                 bsh = batch_sharded(self.mesh)
-                # (B*T, H, W, C) rows shard on dim 0; B % n == 0 keeps the
-                # split on video boundaries so the (B, T, ...) view inside
-                # forward_flat stays batch-sharded.
                 self.variables = jax.device_put(self.variables, repl)
                 self._batch_placement = bsh
-                self._fwd_flat_masked = jax.jit(
-                    lambda v, x, b, m: self.model.apply(
-                        v, x, b, mask=m, method="forward_flat"
-                    ),
-                    static_argnums=2,
-                    in_shardings=(repl, bsh, bsh),
-                    out_shardings=repl,
-                )
+                if self.model_type == "attention":
+                    # (B*T, H, W, C) rows shard on dim 0; B % n == 0 keeps
+                    # the split on video boundaries so the (B, T, ...) view
+                    # inside forward_flat stays batch-sharded.
+                    self._fwd_flat_masked = jax.jit(
+                        lambda v, x, b, m: self.model.apply(
+                            v, x, b, mask=m, method="forward_flat"
+                        ),
+                        static_argnums=2,
+                        in_shardings=(repl, bsh, bsh),
+                        out_shardings=repl,
+                    )
+                else:
+                    # 3D scan batches fixed (B, clip_length, ...) windows —
+                    # shard the window batch the same way.
+                    self._fwd_batched = jax.jit(
+                        lambda v, x: self.model.apply(v, _norm(x)),
+                        in_shardings=(repl, bsh),
+                        out_shardings=repl,
+                    )
                 print(f"Data-parallel extraction over {len(devs)} devices "
                       f"(batch {self.batch_size})")
 
@@ -564,7 +574,7 @@ class FingerprintScanner:
 
         per_video: Dict[str, list] = {}
 
-        fwd = self._fwd
+        fwd = self._fwd_batched
         B = self.batch_size
         buf, buf_owner = [], []
         fingerprints: Dict[str, dict] = {}
@@ -587,7 +597,8 @@ class FingerprintScanner:
             for i, c in enumerate(buf):
                 arr[i] = c
             dev_embs = fwd(
-                self.variables, jax.device_put(jnp.asarray(arr), self.device)
+                self.variables,
+                jax.device_put(jnp.asarray(arr), self._batch_placement),
             )  # async dispatch
             pipeline.dispatch(list(buf_owner), dev_embs)
             buf, buf_owner = [], []
