@@ -93,6 +93,37 @@ def main():
             flush=True,
         )
 
+    # --- the production serve config: fused BN + bf16 + pre-flattened u8 ---
+    from video_fingerprint_tpu.models.fuse import fuse_variables
+
+    base = create_model("attention")
+    base_vars = base.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, HW, HW, 3), jnp.float32)
+    )
+    fused_vars = jax.device_put(fuse_variables(base_vars, "attention"), dev)
+    flat_u8 = jax.device_put(
+        (rng.random((B * T, HW, HW, 3)) * 255).astype(np.uint8), dev
+    )
+    for name, dtype in [("fused-f32", None), ("fused-bf16", jnp.bfloat16)]:
+        fm = create_model("attention", fused=True, dtype=dtype)
+        cdt = dtype or jnp.float32
+        full_f = jax.jit(
+            lambda v, x: jnp.sum(fm.apply(v, x, B, method="forward_flat"))
+        )
+        spatial_f = jax.jit(
+            lambda v, x: jnp.sum(
+                fm.apply(v, x.astype(cdt) / 255.0,
+                         method=lambda m, y: m.spatial_encoder(y))
+            )
+        )
+        t_full = timeit(full_f, fused_vars, flat_u8)
+        t_spatial = timeit(spatial_f, fused_vars, flat_u8)
+        print(
+            f"[{name}] full={t_full*1e3:7.1f}ms  spatial={t_spatial*1e3:7.1f}ms"
+            f"  -> {B/t_full:,.0f} videos/s",
+            flush=True,
+        )
+
     # --- first-conv layout variants (the suspected MXU-starved op) ---------
     N = B * T  # 65536 frames
     x_f = jax.device_put(rng.random((N, HW, HW, 3)).astype(np.float32), dev)
