@@ -83,3 +83,12 @@ def test_3d_data_parallel_equals_single(scanner3d, corpus3d, tmp_path_factory):
         ea, eb = a[p]["embedding"], b[p]["embedding"]
         cos = float(np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)))
         assert cos > 0.9999, (p, cos)
+
+
+def test_3d_warmup_compiles_window_program(scanner3d, corpus3d):
+    """3D warmup() pre-compiles the fixed window-batch program."""
+    scanner3d.warmup()
+    misses_before = scanner3d._fwd_batched._cache_size()
+    bat = scanner3d.scan_directory(corpus3d, num_workers=2, batched=True)
+    assert scanner3d._fwd_batched._cache_size() == misses_before
+    assert len(bat) == 4

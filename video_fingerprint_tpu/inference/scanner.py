@@ -138,7 +138,13 @@ class FingerprintScanner:
                 return x.astype(jnp.float32) / 255.0
             return x
 
-        self._fwd = jax.jit(lambda v, x: self.model.apply(v, _norm(x)))
+        def _fwd_fn(v, x):
+            return self.model.apply(v, _norm(x))
+
+        def _fwd_flat_masked_fn(v, x, b, m):
+            return self.model.apply(v, x, b, mask=m, method="forward_flat")
+
+        self._fwd = jax.jit(_fwd_fn)
         self._fwd_masked = jax.jit(
             lambda v, x, m: self.model.apply(v, _norm(x), mask=m)
         )
@@ -151,12 +157,7 @@ class FingerprintScanner:
             lambda v, x, b: self.model.apply(v, x, b, method="forward_flat"),
             static_argnums=2,
         )
-        self._fwd_flat_masked = jax.jit(
-            lambda v, x, b, m: self.model.apply(
-                v, x, b, mask=m, method="forward_flat"
-            ),
-            static_argnums=2,
-        )
+        self._fwd_flat_masked = jax.jit(_fwd_flat_masked_fn, static_argnums=2)
 
         # Data-parallel batched extraction: the bucketed program is jitted
         # with the batch sharded over a Mesh(('data',)) of every device on
@@ -185,9 +186,7 @@ class FingerprintScanner:
                     # the split on video boundaries so the (B, T, ...) view
                     # inside forward_flat stays batch-sharded.
                     self._fwd_flat_masked = jax.jit(
-                        lambda v, x, b, m: self.model.apply(
-                            v, x, b, mask=m, method="forward_flat"
-                        ),
+                        _fwd_flat_masked_fn,
                         static_argnums=2,
                         in_shardings=(repl, bsh, bsh),
                         out_shardings=repl,
@@ -196,7 +195,7 @@ class FingerprintScanner:
                     # 3D scan batches fixed (B, clip_length, ...) windows —
                     # shard the window batch the same way.
                     self._fwd_batched = jax.jit(
-                        lambda v, x: self.model.apply(v, _norm(x)),
+                        _fwd_fn,
                         in_shardings=(repl, bsh),
                         out_shardings=repl,
                     )
@@ -208,14 +207,22 @@ class FingerprintScanner:
     def warmup(self, num_frames: Optional[int] = None) -> None:
         """Compile the batched-scan program(s) before the production window.
 
-        Compiles the masked bucketed forward — the exact program
-        `_scan_batched.flush` dispatches — for the bucket covering
-        `num_frames` (every bucket when None). First compiles cost 0.5-3 min
-        each through a remote-compile tunnel and would otherwise land inside
-        the first scan's timed window. Attention model only: the 3D scan
-        compiles one fixed (batch, clip_length) shape on first dispatch.
+        Compiles the exact program the batched scan dispatches: the masked
+        bucketed forward for the bucket covering `num_frames` (every bucket
+        when None) for the attention model, or the single fixed
+        (batch, clip_length) window program for the 3D model. First compiles
+        cost 0.5-3 min each through a remote-compile tunnel and would
+        otherwise land inside the first scan's timed window.
         """
         if self.model_type != "attention":
+            arr = np.zeros(
+                (self.batch_size, self.clip_length,
+                 self.frame_size, self.frame_size, 3), np.uint8,
+            )
+            np.asarray(self._fwd_batched(
+                self.variables,
+                jax.device_put(jnp.asarray(arr), self._batch_placement),
+            ))
             return
         if num_frames is None:
             buckets = self.buckets
