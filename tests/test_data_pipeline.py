@@ -129,3 +129,19 @@ def test_dataset_sample_deterministic(tmp_path):
     assert a["clip1"].shape != c["clip1"].shape or not np.array_equal(
         a["clip1"], c["clip1"]
     )
+
+
+def test_dataset_sample_deterministic_across_cache_state(tmp_path):
+    """The (seed, epoch, idx) contract must hold regardless of the decode
+    cache: the speed-jitter draw is consumed unconditionally, so a cached
+    repeat access yields the same sample as the first (uncached) one."""
+    from video_fingerprint_tpu.data.dataset import VideoFingerprintDataset
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path, num_unique=2, num_frames=16, duplicates=0)
+    ds = VideoFingerprintDataset(tmp_path, mode="train", model_type="attention",
+                                 seed=5, cache_videos=True)
+    first = ds.get(0, epoch=0)   # cache miss: decode + jitter draw
+    second = ds.get(0, epoch=0)  # cache hit: must consume the same draws
+    np.testing.assert_array_equal(first["clip1"], second["clip1"])
+    np.testing.assert_array_equal(first["clip2"], second["clip2"])

@@ -124,3 +124,59 @@ def test_validate_partial_batch_multi_device(tmp_path):
     metrics = trainer.validate()
     assert np.isfinite(metrics["loss"])
     assert "auc_roc" in metrics
+
+
+@pytest.mark.slow
+def test_extract_robustness_uses_true_lengths(tmp_path):
+    """Robustness extracts must window each sample's TRUE length: a short
+    video padded into a long bucket previously got an all-padding extract
+    (degenerate embedding) because the center slice used the padded T."""
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.trainer import Trainer
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=4, num_frames=16, duplicates=0)
+    config = {
+        "batch_size": 2, "epochs": 1, "learning_rate": 1e-3,
+        "frame_size": 64, "max_frames": 64, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256, "min_extract_ratio": 0.5,
+        "model_type": "attention", "device": "cpu", "seed": 0,
+        "spatial_dim": 128, "temporal_dim": 256, "num_attention_blocks": 4,
+    }
+    model = create_model("attention")
+    loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=2, num_workers=0, max_frames=64,
+        mode="val", model_type="attention",
+    )
+    trainer = Trainer(model, loader, loader, config, tmp_path / "run")
+
+    rng = np.random.default_rng(0)
+    T = 64
+    clip = jnp.asarray(rng.random((2, T, 64, 64, 3), dtype=np.float32))
+    mask = np.zeros((2, T), bool)
+    mask[0, :12] = True   # short video padded into the 64 bucket
+    mask[1, :] = True
+    mask = jnp.asarray(mask)
+
+    metrics = trainer._extract_robustness([(clip, mask)])
+
+    # oracle: per-sample true-length center extracts, forwarded unpadded
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    import jax
+
+    fwd = jax.jit(lambda x, m: model.apply(variables, x, mask=m))
+    emb_full = np.asarray(fwd(clip, mask))
+    coss = []
+    for b, t_true in ((0, 12), (1, 64)):
+        ext = max(1, int(t_true * 0.5))
+        start = (t_true - ext) // 2
+        sub = clip[b : b + 1, start : start + ext]
+        emb = np.asarray(fwd(sub, jnp.ones((1, ext), bool)))[0]
+        coss.append(float(np.dot(emb_full[b], emb)))
+    np.testing.assert_allclose(
+        metrics["extract_sim_50"], np.mean(coss), atol=1e-4
+    )

@@ -134,7 +134,12 @@ def apply_augmentations(
             ) / 255.0
             x = x * p.brightness
             x = (x - 0.5) * p.contrast + 0.5
-            gray = cv2.cvtColor((x * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY)
+            # clip before the uint8 cast: brightness/contrast push values
+            # outside [0,1] and an unclipped cast wraps modulo 256, feeding
+            # garbage into the saturation blend below
+            gray = cv2.cvtColor(
+                (np.clip(x, 0.0, 1.0) * 255).astype(np.uint8), cv2.COLOR_RGB2GRAY
+            )
             gray = cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB).astype(np.float32) / 255.0
             x = p.saturation * x + (1 - p.saturation) * gray
             f = np.clip(x * 255, 0, 255).astype(np.uint8)

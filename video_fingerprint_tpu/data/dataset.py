@@ -137,6 +137,8 @@ class VideoFingerprintDataset:
                 continue
             total = info.total_frames
             if total >= self.clip_length and self.mode == "train":
+                # the 32-frame hop between candidate clips is hardcoded by
+                # the reference too (dataset.py:74) — it is NOT frame_stride
                 num_clips = min(5, (total - self.clip_length) // 32 + 1)
                 for i in range(num_clips):
                     samples.append(
@@ -162,14 +164,22 @@ class VideoFingerprintDataset:
         """Full-video subsampled decode with train-time speed jitter
         (dataset.py:109-158), cached like the reference (first decode wins)."""
         key = str(path)
+        # draw the speed jitter BEFORE the cache check: consuming the RNG
+        # only on cache misses would make every later draw (pair sampling,
+        # augmentations) depend on which paths happen to be cached — i.e. on
+        # thread scheduling — breaking the (seed, epoch, idx) determinism
+        # contract. The draw is wasted on a cache hit; determinism is not.
+        speed = (
+            rng.uniform(0.5, 2.0)
+            if (self.augment and self.mode == "train") else None
+        )
         if self.cache_videos and key in self._cache:
             return self._cache[key]
 
         skip_rate = None
-        if self.augment and self.mode == "train":
+        if speed is not None:
             info = decode.probe(path)
             if info and info.total_frames > 0:
-                speed = rng.uniform(0.5, 2.0)
                 skip_rate = max(1, int((info.total_frames // self.max_frames) * speed))
 
         frames = decode.decode_subsampled(path, self.max_frames, skip_rate=skip_rate)

@@ -93,8 +93,15 @@ def decode_subsampled(
 
 
 def _derive_skip(total: int, max_frames: int, skip_rate: Optional[int]) -> int:
-    derived = max(1, total // max_frames) if total > max_frames else 1
-    return max(skip_rate or 1, derived)
+    """An explicit skip_rate wins outright: the train-time speed jitter
+    (reference dataset.py:128-134) intentionally passes skips BELOW the
+    derived total//max_frames for speed < 1.0 — the decode then samples the
+    first part of the video densely and the max_frames cap truncates, which
+    is the reference's slow-motion augmentation. Clamping up to the derived
+    value would silently erase the [0.5, 1.0) half of the jitter range."""
+    if skip_rate:
+        return max(1, skip_rate)
+    return max(1, total // max_frames) if total > max_frames else 1
 
 
 def _decode_subsampled_cv2(path, max_frames, skip_rate) -> List[np.ndarray]:

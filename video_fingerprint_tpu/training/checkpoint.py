@@ -34,18 +34,11 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(
-    path: Path | str,
-    params,
-    batch_stats,
-    config: Dict[str, Any],
-    opt_state_sd: Optional[Dict] = None,
-    epoch: int = 0,
-    global_step: int = 0,
-    bests: Optional[Dict[str, float]] = None,
-    metrics: Optional[Dict] = None,
-) -> None:
-    payload = {
+def _build_payload(
+    params, batch_stats, config, opt_state_sd, epoch, global_step, bests, metrics
+) -> Dict[str, Any]:
+    """Shared payload schema for both checkpoint backends."""
+    return {
         "model": {
             "params": _to_numpy_tree(params),
             "batch_stats": _to_numpy_tree(batch_stats),
@@ -59,6 +52,22 @@ def save_checkpoint(
         "config_json": json.dumps(config, default=str),
         "metrics_json": json.dumps(metrics, default=float) if metrics else "",
     }
+
+
+def save_checkpoint(
+    path: Path | str,
+    params,
+    batch_stats,
+    config: Dict[str, Any],
+    opt_state_sd: Optional[Dict] = None,
+    epoch: int = 0,
+    global_step: int = 0,
+    bests: Optional[Dict[str, float]] = None,
+    metrics: Optional[Dict] = None,
+) -> None:
+    payload = _build_payload(
+        params, batch_stats, config, opt_state_sd, epoch, global_step, bests, metrics
+    )
     data = serialization.msgpack_serialize(payload)
     path = Path(path)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -89,20 +98,9 @@ def save_checkpoint_orbax(
     writes, per-array files). Same payload schema as the msgpack format."""
     import orbax.checkpoint as ocp
 
-    payload = {
-        "model": {
-            "params": _to_numpy_tree(params),
-            "batch_stats": _to_numpy_tree(batch_stats),
-        },
-        "train": {
-            "opt_state": _to_numpy_tree(opt_state_sd) if opt_state_sd else {},
-            "epoch": epoch,
-            "global_step": global_step,
-            "bests": bests or {},
-        },
-        "config_json": json.dumps(config, default=str),
-        "metrics_json": json.dumps(metrics, default=float) if metrics else "",
-    }
+    payload = _build_payload(
+        params, batch_stats, config, opt_state_sd, epoch, global_step, bests, metrics
+    )
     path = Path(path).absolute()
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)

@@ -257,6 +257,10 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
             emb1, emb2 = emb[:B], emb[B:]
 
             k_len, e_rng1, e_rng2 = jax.random.split(rng, 3)
+            # 0.5 is deliberate: the reference's validate calls
+            # compute_loss(clip1, clip2) WITHOUT threading the configured
+            # min_extract_ratio (train.py:397-399 vs :182-204), so eval
+            # always uses compute_loss's 0.5 default regardless of config.
             lengths = sample_extract_lengths(k_len, B, T, 0.5)
             tl1 = jnp.sum(m1, axis=1) if m1 is not None else None
             tl2 = jnp.sum(m2, axis=1) if m2 is not None else None

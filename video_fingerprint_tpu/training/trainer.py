@@ -413,16 +413,27 @@ class Trainer:
             emb_full = self._jit_fwd(
                 self.state.params, self.state.batch_stats, clip, mask
             )
-            T = clip.shape[1]
+            B, T = clip.shape[0], clip.shape[1]
+            # per-sample center extracts over each video's TRUE length: the
+            # reference slices the padded batch T (train.py:499-505), but it
+            # has no mask — here a padded-T slice could fall entirely past a
+            # short video's real frames, and an all-False mask degenerates
+            # the pooled embedding, corrupting the metric.
+            t_true = (
+                jnp.sum(mask, axis=1).astype(jnp.int32)
+                if mask is not None
+                else jnp.full((B,), T, jnp.int32)
+            )
             for ratio in (0.5, 0.6, 0.7, 0.8, 0.9):
-                ext_len = int(T * ratio)
-                if ext_len >= T or ext_len < 1:
-                    continue
-                start = (T - ext_len) // 2
-                sub = clip[:, start : start + ext_len]
-                submask = (
-                    mask[:, start : start + ext_len] if mask is not None else None
+                ext_len = jnp.maximum((t_true * ratio).astype(jnp.int32), 1)
+                start = (t_true - ext_len) // 2
+                idx = jnp.clip(
+                    start[:, None] + jnp.arange(T)[None, :], 0, T - 1
                 )
+                sub = jnp.take_along_axis(
+                    clip, idx[:, :, None, None, None], axis=1
+                )
+                submask = jnp.arange(T)[None, :] < ext_len[:, None]
                 emb_ext = self._jit_fwd(
                     self.state.params, self.state.batch_stats, sub, submask
                 )
@@ -521,8 +532,8 @@ class Trainer:
                 f.write("-" * 130 + "\n")
             f.write(
                 f"{self.epoch:5d} | {train_metrics['loss']:10.4f} | "
-                f"{train_metrics['acc']:9.3f} | {val_metrics['loss']:8.4f} | "
-                f"{val_metrics['acc']:7.3f} | {val_metrics.get('auc_roc', 0):7.3f} | "
+                f"{train_metrics['acc']:9.3f} | {val_metrics.get('loss', 0):8.4f} | "
+                f"{val_metrics.get('acc', 0):7.3f} | {val_metrics.get('auc_roc', 0):7.3f} | "
                 f"{val_metrics.get('intra_sim_mean', 0):9.3f} | "
                 f"{val_metrics.get('inter_sim_mean', 0):9.3f} | "
                 f"{val_metrics.get('f1@0.70', 0):6.3f} | "
@@ -532,6 +543,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train(self):
+        if len(self.train_loader) == 0:
+            raise ValueError(
+                "train loader yields no batches (too few videos for the "
+                "batch size with drop_last) — nothing to train on"
+            )
         if self.is_main:
             print(f"Training on {self.device}")
             print(f"Model type: {self.model_type}")
