@@ -169,3 +169,19 @@ def test_fused_bf16_3d_torch_golden():
                 np.linalg.norm(emb, axis=1) * np.linalg.norm(ref, axis=1)
             )
             assert cos.min() > gate, f"{case} dtype={dtype} cos={cos.min()}"
+
+
+def test_fused_s2d_model_matches_standard():
+    """The full s2d layout is constructible end-to-end:
+    create_model(fused=True, s2d=True) + fuse_variables(s2d=True) computes
+    the same function as the standard eval forward."""
+    model = create_model("attention")
+    variables = _perturbed_init(model, "attention", 0)
+    fused_model = create_model("attention", fused=True, s2d=True)
+    fused_vars = fuse_variables(variables, "attention", s2d=True)
+
+    rng = np.random.default_rng(13)
+    video = jnp.asarray(rng.random((2, 16, 64, 64, 3), dtype=np.float32))
+    ref = np.asarray(jax.jit(model.apply)(variables, video))
+    out = np.asarray(jax.jit(fused_model.apply)(fused_vars, video))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)

@@ -145,9 +145,6 @@ class FingerprintScanner:
             return self.model.apply(v, x, b, mask=m, method="forward_flat")
 
         self._fwd = jax.jit(_fwd_fn)
-        self._fwd_masked = jax.jit(
-            lambda v, x, m: self.model.apply(v, _norm(x), mask=m)
-        )
         # Attention forwards take frames pre-flattened to (B*T, H, W, C):
         # reshaping the multi-GB 5-D video tensor in-graph costs two full-HBM
         # relayout passes on TPU (profiled ~11ms per 512x128-frame batch);
@@ -229,10 +226,12 @@ class FingerprintScanner:
         else:
             buckets = (preprocess.bucket_for_length(
                 min(num_frames, self.max_frames), self.buckets),)
-        # must match flush()'s staged dtype: uint8 on the cv2 path, float32
-        # from the native decode/preprocess fast paths.
+        # must match flush()'s staged dtype: uint8 from cv2 AND from the
+        # native decoder (utils/native_decode.py returns u8); float32 only
+        # from the native *preprocess* fast path.
         dtype = (
-            np.float32 if (self.native_decode or self.native_preprocess)
+            np.float32
+            if (self.native_preprocess and not self.native_decode)
             else np.uint8
         )
         B = self.batch_size
@@ -284,6 +283,10 @@ class FingerprintScanner:
 
         # Evenly-spaced segments, averaged WITHOUT re-normalization — the
         # reference's behaviour for the attention path (fingerprint.py:251-270).
+        # NB: latent in the reference too — its decode caps at max_frames
+        # (fingerprint.py:99-101) so `len(frames) > max_frames` never holds
+        # through its own scan entry point; kept (and tested) for exact API
+        # parity with callers that feed longer frame lists.
         # Segments share one length, so they forward as ONE batched call
         # instead of the reference's batch=1 loop.
         segment_length = min(self.max_frames, len(frames) // num_segments)
@@ -365,12 +368,19 @@ class FingerprintScanner:
             remaining: List[Path] = []
             for p in video_paths:
                 entry = cache.get(str(p))
-                if (
-                    entry is not None
-                    and p.stat().st_size == entry.get("size")
-                    and compute_file_hash(p, max_bytes=1024 * 1024)
-                    == entry.get("file_hash")
-                ):
+                try:
+                    hit = (
+                        entry is not None
+                        and p.stat().st_size == entry.get("size")
+                        and compute_file_hash(p, max_bytes=1024 * 1024)
+                        == entry.get("file_hash")
+                    )
+                except OSError:
+                    # vanished/unreadable between glob and check: fall through
+                    # to the scan path, whose per-file tolerance counts it as
+                    # one failure instead of aborting the whole scan
+                    hit = False
+                if hit:
                     cached_hits[str(p)] = entry
                 else:
                     remaining.append(p)

@@ -42,6 +42,7 @@ def create_model(
             axis_name=axis_name,
             dtype=dtype,
             fused=kwargs.get("fused", False),
+            s2d=kwargs.get("s2d", False),
         )
     elif model_type in ("3d", "cnn3d"):
         return VideoFingerprint3D(

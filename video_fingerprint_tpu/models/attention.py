@@ -39,14 +39,17 @@ class VideoFingerprintAttention(nn.Module):
     num_heads: int = 8
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
-    # Inference-only fused layout: BN folded into convs + space-to-depth
-    # first conv (models/fuse.py). Weights must come from fuse_variables().
+    # Inference-only fused layout: BN folded into convs (models/fuse.py).
+    # Weights must come from fuse_variables(). s2d additionally selects the
+    # space-to-depth conv0 rewrite (fuse_variables(..., s2d=True) weights) —
+    # exact but measured slower on v5e; kept as a documented layout variant.
     fused: bool = False
+    s2d: bool = False
 
     def setup(self):
         self.spatial_encoder = SpatialEncoder(
             out_dim=self.spatial_dim, axis_name=self.axis_name, dtype=self.dtype,
-            fuse_bn=self.fused,
+            fuse_bn=self.fused, s2d=self.s2d,
         )
         self.temporal_projection = TorchDense(features=self.temporal_dim, dtype=self.dtype)
         self.temporal_conv_blocks = [
@@ -134,6 +137,7 @@ class VideoFingerprintAttention(nn.Module):
         batch_size: int,
         train: bool = False,
         mask: Optional[jax.Array] = None,
+        return_features: bool = False,
     ) -> jax.Array:
         """(B*T, H, W, C) pre-flattened frames -> (B, embedding_dim).
 
@@ -156,7 +160,11 @@ class VideoFingerprintAttention(nn.Module):
         h = self.final_dropout(h, deterministic=not train)
         embedding = self.final_projection_2(h).astype(jnp.float32)
         norm = jnp.linalg.norm(embedding, axis=1, keepdims=True)
-        return embedding / jnp.maximum(norm, 1e-12)
+        # torch F.normalize(p=2, eps=1e-12): x / max(||x||, eps)
+        embedding = embedding / jnp.maximum(norm, 1e-12)
+        if return_features:
+            return embedding, temporal_features
+        return embedding
 
     def __call__(
         self,
@@ -167,18 +175,13 @@ class VideoFingerprintAttention(nn.Module):
     ):
         """(B, T, H, W, C) -> (B, embedding_dim), L2-normalized.
 
-        Reference forward: model.py:272-298.
+        Reference forward: model.py:272-298. Delegates to forward_flat —
+        identical math (the flatten is what encode_frames did anyway);
+        batched-scan callers stage pre-flattened frames and call
+        forward_flat directly to keep the reshape off-device.
         """
-        spatial_features = self.encode_frames(video, train=train)
-        temporal_features = self.temporal_encoding(spatial_features, train=train, mask=mask)
-        pooled = self.adaptive_pooling(temporal_features, mask=mask)
-        h = nn.relu(self.final_projection_1(pooled))
-        h = self.final_dropout(h, deterministic=not train)
-        embedding = self.final_projection_2(h)
-        embedding = embedding.astype(jnp.float32)
-        norm = jnp.linalg.norm(embedding, axis=1, keepdims=True)
-        # torch F.normalize(p=2, eps=1e-12): x / max(||x||, eps)
-        embedding = embedding / jnp.maximum(norm, 1e-12)
-        if return_features:
-            return embedding, temporal_features
-        return embedding
+        B = video.shape[0]
+        flat = video.reshape((B * video.shape[1],) + video.shape[2:])
+        return self.forward_flat(
+            flat, B, train=train, mask=mask, return_features=return_features
+        )

@@ -68,7 +68,8 @@ def fuse_variables(variables, model_type: str = "attention", s2d: bool = False):
     The result has no 'batch_stats' collection (all BN folded away).
 
     s2d=True additionally rewrites conv0 to the space-to-depth layout
-    (requires SpatialEncoder(fuse_bn=True, s2d=True)). Measured on v5e this
+    (pair with create_model("attention", fused=True, s2d=True)). Measured on
+    v5e this
     LOSES ~20ms per 512x128-frame batch: the in-graph 2x2 block transpose is
     a full-HBM relayout pass of the 3.2GB activation, costing more than the
     75->108-lane contraction widening saves (XLA already lays conv1 out with
