@@ -15,11 +15,11 @@ from video_fingerprint_tpu.models import create_model
 from video_fingerprint_tpu.models.fuse import fuse_variables, space_to_depth_kernel
 
 
-def _perturbed_init(model, model_type, key):
+def _perturbed_init(model, key=0):
     """init + random BN running stats (mean!=0, var!=1) to make folding real."""
     x = jnp.zeros((1, 8, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x)
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(3 + key)
     stats = jax.tree_util.tree_map(
         lambda v: jnp.asarray(
             rng.normal(0.0, 0.5, v.shape).astype(np.float32) ** 2 + 0.5
@@ -36,7 +36,7 @@ def _perturbed_init(model, model_type, key):
 ])
 def test_fused_matches_standard(model_type, kwargs):
     model = create_model(model_type, **kwargs)
-    variables = _perturbed_init(model, model_type, 0)
+    variables = _perturbed_init(model)
     fused_model = create_model(model_type, fused=True, **kwargs)
     fused_vars = fuse_variables(variables, model_type)
 
@@ -75,7 +75,7 @@ def test_fused_tree_matches_fused_init():
 def test_forward_flat_matches_call():
     """forward_flat on (B*T,...) == __call__ on (B,T,...), incl. u8 + mask."""
     model = create_model("attention")
-    variables = _perturbed_init(model, "attention", 0)
+    variables = _perturbed_init(model)
     rng = np.random.default_rng(11)
     video_u8 = jnp.asarray(
         (rng.random((3, 16, 64, 64, 3)) * 255).astype(np.uint8)
@@ -176,7 +176,7 @@ def test_fused_s2d_model_matches_standard():
     create_model(fused=True, s2d=True) + fuse_variables(s2d=True) computes
     the same function as the standard eval forward."""
     model = create_model("attention")
-    variables = _perturbed_init(model, "attention", 0)
+    variables = _perturbed_init(model)
     fused_model = create_model("attention", fused=True, s2d=True)
     fused_vars = fuse_variables(variables, "attention", s2d=True)
 

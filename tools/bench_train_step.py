@@ -87,7 +87,11 @@ def main():
             state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
             if (i + 1) % sync_every == 0:
                 last = float(metrics["loss"])  # deliberate sync point
-        assert last is not None and np.isfinite(last)
+        # drain the tail: steps past the last window boundary are still
+        # in flight — the timer must not stop before they complete
+        if args.steps % sync_every != 0 or last is None:
+            last = float(metrics["loss"])
+        assert np.isfinite(last)
         return args.steps / (time.perf_counter() - t0)
 
     per_step = run(1)

@@ -34,9 +34,15 @@ def main():
 
     out = Path(args.out)
     marker = out / ".complete"
+    stamp = f"{args.videos}:{args.min_frames}:{args.max_frames}:{args.seed}"
     if marker.exists():
-        print(f"corpus already complete at {out}")
-        return
+        if marker.read_text() == stamp:
+            print(f"corpus already complete at {out}")
+            return
+        raise SystemExit(
+            f"{out} holds a corpus built with different parameters "
+            f"({marker.read_text()} != {stamp}) — pick a fresh --out"
+        )
     out.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.videos):
@@ -45,7 +51,7 @@ def main():
                     synthetic_frames(args.seed + i, t))
         if (i + 1) % 25 == 0:
             print(f"{i + 1}/{args.videos}", flush=True)
-    marker.write_text("ok")
+    marker.write_text(stamp)
     print(f"corpus complete: {args.videos} videos at {out}")
 
 

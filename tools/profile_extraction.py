@@ -53,7 +53,6 @@ def main():
         (rng.random((B, T, HW, HW, 3)) * 255).astype(np.uint8), dev
     )
 
-    results = {}
     for name, dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
         model = create_model("attention", dtype=dtype)
         variables = jax.device_put(
@@ -86,7 +85,6 @@ def main():
         t_full = timeit(full, variables, frames_u8)
         t_spatial = timeit(spatial, variables, frames_u8)
         t_temporal = timeit(temporal, variables, feats)
-        results[name] = (t_full, t_spatial, t_temporal)
         print(
             f"[{name}] full={t_full*1e3:7.1f}ms  spatial={t_spatial*1e3:7.1f}ms "
             f"temporal={t_temporal*1e3:7.1f}ms  -> {B/t_full:,.0f} videos/s",
