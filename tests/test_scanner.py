@@ -189,6 +189,127 @@ def test_incremental_scan_index(scanner, corpus, tmp_path, monkeypatch):
             f.write(data)
 
 
+def test_scan_index_model_identity(scanner, corpus, tmp_path, capsys):
+    """A scan index records which model produced it; loading it under a
+    different checkpoint (or a corrupt file) degrades loudly to a full
+    rescan instead of silently mixing embedding spaces (ADVICE r2 medium)."""
+    from video_fingerprint_tpu.inference.scan_cache import load_cache, save_cache
+
+    d, _ = corpus
+    full = scanner.scan_directory(d, num_workers=2, batched=True)
+    idx = tmp_path / "scan_index.npz"
+    save_cache(idx, full, model_identity=scanner.model_identity)
+
+    # same model: full reuse
+    assert set(load_cache(idx, expect_identity=scanner.model_identity)) == set(full)
+
+    # different checkpoint (param hash differs): invalidated with a warning
+    other = dict(scanner.model_identity, param_hash="0" * 32)
+    capsys.readouterr()
+    assert load_cache(idx, expect_identity=other) == {}
+    assert "different model" in capsys.readouterr().out
+
+    # different embedding dim: invalidated
+    other = dict(scanner.model_identity, embedding_dim=128)
+    assert load_cache(idx, expect_identity=other) == {}
+
+    # legacy index without identity: dim check still applies
+    save_cache(idx, full, model_identity=None)
+    assert set(load_cache(idx, expect_identity=scanner.model_identity)) == set(full)
+    assert load_cache(idx, expect_identity={"embedding_dim": 128}) == {}
+
+    # corrupt index: warn + full rescan, never abort (ADVICE r2 low)
+    idx.write_bytes(b"not an npz at all")
+    capsys.readouterr()
+    assert load_cache(idx, expect_identity=scanner.model_identity) == {}
+    assert "unreadable" in capsys.readouterr().out
+
+
+def test_index_merge_and_query_against_cli(ckpt_path, corpus, tmp_path, capsys):
+    """Add-then-query across two scan invocations (VERDICT r2 #6): scan
+    library A into an index, scan library B with the same index (A's entries
+    survive the save — ADVICE r2 low), then query B against the corpus and
+    find the cross-library duplicate."""
+    import shutil
+
+    from video_fingerprint_tpu.cli.scan import main
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    d, _ = corpus
+    idx = tmp_path / "library_index.npz"
+    rc = main(["--model", ckpt_path, "--scan", str(d), "--device", "cpu",
+               "--workers", "2", "--batch", "4", "--index", str(idx)])
+    assert rc == 0
+    assert len(FingerprintIndex.load(idx)) == 6
+
+    # library B: one brand-new file + one byte-identical copy from library A
+    lib_b = tmp_path / "library_b"
+    lib_b.mkdir()
+    src = sorted(d.glob("video_3.mp4"))[0]
+    shutil.copy(src, lib_b / "reupload.mp4")
+
+    rc = main(["--model", ckpt_path, "--scan", str(lib_b), "--device", "cpu",
+               "--workers", "2", "--batch", "4", "--index", str(idx)])
+    assert rc == 0
+    merged = FingerprintIndex.load(idx)
+    assert len(merged) == 7  # A's 6 entries survived the B scan's save
+    assert merged.model_identity["embedding_dim"] == 256
+
+    # query B against the corpus: the reupload matches its original in A
+    out = tmp_path / "cross.json"
+    capsys.readouterr()
+    rc = main(["--model", ckpt_path, "--scan", str(lib_b), "--device", "cpu",
+               "--workers", "2", "--batch", "4", "--against", str(idx),
+               "--threshold", "0.9999", "--output", str(out)])
+    assert rc == 0
+    results = json.loads(out.read_text())
+    groups = results["duplicate_groups"]
+    assert len(groups) == 1
+    by_path = {item["path"]: item for item in groups[0]}
+    # a random-init model cannot separate distinct videos (all ~0.99999), so
+    # assert on the byte-identical pair, which must be md5-flagged exact
+    assert by_path[str(lib_b / "reupload.mp4")]["exact_duplicate"]
+    assert by_path[str(src)]["exact_duplicate"]
+    assert by_path[str(src)]["similarity"] == pytest.approx(1.0, abs=1e-5)
+    assert "DUPLICATE REPORT" in capsys.readouterr().out
+
+
+def test_query_against_rejects_foreign_index(scanner, corpus, tmp_path):
+    """--against with an index from a different model must fail loudly."""
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    d, _ = corpus
+    fps = scanner.scan_directory(d, num_workers=2, batched=True)
+    index = FingerprintIndex(
+        dim=256, model_identity=dict(scanner.model_identity, param_hash="f" * 32)
+    )
+    index.add_fingerprints(fps)
+    with pytest.raises(ValueError, match="different model"):
+        scanner.find_duplicates_against(fps, index)
+
+
+def test_fingerprint_index_replace_semantics():
+    """add_fingerprints replaces rows for already-indexed paths (rescan wins)
+    and round-trips meta through save/load."""
+    import numpy as np
+
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    index = FingerprintIndex(dim=4)
+    e1 = np.eye(4, dtype=np.float32)[0]
+    e2 = np.eye(4, dtype=np.float32)[1]
+    index.add_fingerprints({"a.mp4": {"embedding": e1, "size": 10}})
+    index.add_fingerprints({
+        "a.mp4": {"embedding": e2, "size": 11},  # replaces
+        "b.mp4": {"embedding": e1, "size": 20},
+    })
+    assert len(index) == 2
+    fps = index.fingerprints()
+    np.testing.assert_array_equal(fps["a.mp4"]["embedding"], e2)
+    assert fps["a.mp4"]["size"] == 11
+    assert fps["b.mp4"]["size"] == 20
+
+
 def test_data_parallel_scan_equals_single(ckpt_path, corpus):
     """--data_parallel: batched extraction sharded over the 8-device mesh
     must equal the single-device scan (pure DP, no semantic change)."""

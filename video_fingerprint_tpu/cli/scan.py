@@ -58,7 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--index", type=str,
                         help="Persistent scan index (.npz): reuse fingerprints "
                              "for unchanged files (size + content hash) and "
-                             "save the updated index after the scan")
+                             "save the updated index after the scan. Entries "
+                             "for files outside the scanned folder are kept, "
+                             "so one index can serve several libraries")
+    parser.add_argument("--against", type=str,
+                        help="Query-vs-corpus mode: search the scanned videos "
+                             "against this persisted corpus index (.npz, from "
+                             "a previous --index scan) and report "
+                             "cross-duplicates instead of duplicates within "
+                             "the scanned folder")
     return parser
 
 
@@ -100,11 +108,22 @@ def main(argv=None) -> int:
         print("Warming up batched extraction programs...")
         scanner.warmup()
 
+    corpus_index = None
+    if args.against:
+        from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+        if not Path(args.against).exists():
+            print(f"Error: Corpus index {args.against} does not exist")
+            return 1
+        corpus_index = FingerprintIndex.load(args.against)
+        print(f"Loaded corpus index with {len(corpus_index)} fingerprints "
+              f"from {args.against}")
+
     cache = None
     if args.index:
         from video_fingerprint_tpu.inference.scan_cache import load_cache
 
-        cache = load_cache(args.index)
+        cache = load_cache(args.index, expect_identity=scanner.model_identity)
         if cache:
             print(f"Loaded scan index with {len(cache)} fingerprints "
                   f"from {args.index}")
@@ -123,12 +142,25 @@ def main(argv=None) -> int:
     if args.index:
         from video_fingerprint_tpu.inference.scan_cache import save_cache
 
-        save_cache(args.index, fingerprints)
+        # merge the prior cache so entries for files outside this scan
+        # survive (shared index across libraries); rescans win on conflict.
+        save_cache(args.index, {**(cache or {}), **fingerprints},
+                   model_identity=scanner.model_identity)
         print(f"Scan index saved to {args.index}")
 
-    duplicate_groups = scanner.find_duplicates(
-        fingerprints, similarity_threshold=args.threshold
-    )
+    if corpus_index is not None:
+        try:
+            duplicate_groups = scanner.find_duplicates_against(
+                fingerprints, corpus_index,
+                similarity_threshold=args.threshold,
+            )
+        except ValueError as e:
+            print(f"Error: {e}")
+            return 1
+    else:
+        duplicate_groups = scanner.find_duplicates(
+            fingerprints, similarity_threshold=args.threshold
+        )
     print_duplicate_report(duplicate_groups)
 
     if args.output:

@@ -5,6 +5,16 @@ The reference's scale path is `faiss.IndexFlatIP` + `index.search`
 top-k, plus persistence. Exact inner-product search (no quantization), which
 is what the reference used too.
 
+This is also THE corpus persistence format: one .npz holding the embedding
+matrix, the per-video metadata (path/size/md5 — the same content as the
+results-JSON fingerprints section), and the identity of the model that
+produced the embeddings (config + parameter hash). The `--index` incremental
+scan cache (inference/scan_cache.py) and the `--against` query-vs-corpus
+mode are both backed by this class, so one saved corpus serves both
+workflows. Model identity makes stale indexes fail loudly: embeddings from a
+different checkpoint live in a different space, and silently mixing them
+corrupts duplicate detection.
+
     index = FingerprintIndex(dim=256)
     index.add(embeddings)          # (N, 256) float32, appendable
     scores, ids = index.search(queries, k=20)
@@ -13,41 +23,121 @@ is what the reference used too.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from video_fingerprint_tpu.ops.topk import topk_search
+
+def identity_mismatch(stored: Optional[dict], expected: Optional[dict]) -> Optional[str]:
+    """Human-readable reason the stored model identity does not match the
+    expected one, or None if compatible. Keys present on only one side are
+    ignored (forward/backward compatibility); a missing stored identity is
+    compatible (legacy index) — dimension checks still apply elsewhere."""
+    if not stored or not expected:
+        return None
+    for key in sorted(stored.keys() & expected.keys()):
+        if stored[key] != expected[key]:
+            return f"{key}: index has {stored[key]!r}, model has {expected[key]!r}"
+    return None
 
 
 class FingerprintIndex:
-    def __init__(self, dim: int = 256, device: Optional[object] = None):
+    def __init__(
+        self,
+        dim: int = 256,
+        device: Optional[object] = None,
+        model_identity: Optional[dict] = None,
+    ):
         self.dim = dim
-        self.device = device or jax.devices()[0]
+        self.model_identity = dict(model_identity or {})
+        self._device = device  # resolved lazily: load/save must not touch jax
         self._chunks: list[np.ndarray] = []
+        self._meta: List[dict] = []
         self._staged = None  # device-resident (N, dim) corpus
         self._dirty = False
 
     def __len__(self) -> int:
         return sum(c.shape[0] for c in self._chunks)
 
-    def add(self, embeddings: np.ndarray) -> None:
+    @property
+    def device(self):
+        if self._device is None:
+            import jax
+
+            self._device = jax.devices()[0]
+        return self._device
+
+    def add(self, embeddings: np.ndarray, meta: Optional[List[dict]] = None) -> None:
         embeddings = np.ascontiguousarray(embeddings, dtype=np.float32)
         if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
             raise ValueError(f"expected (N, {self.dim}) embeddings, "
                              f"got {embeddings.shape}")
+        if meta is not None and len(meta) != embeddings.shape[0]:
+            raise ValueError(f"{len(meta)} meta entries for "
+                             f"{embeddings.shape[0]} embeddings")
         self._chunks.append(embeddings)
+        self._meta.extend(meta if meta is not None
+                          else [{}] * embeddings.shape[0])
         self._dirty = True
+
+    def add_fingerprints(self, fingerprints: Dict[str, dict]) -> None:
+        """Append scanner output ({path: {embedding, name, size, ...}}).
+        Entries whose path is already indexed are replaced (rescan wins)."""
+        if not fingerprints:
+            return
+        existing = {m.get("path"): i for i, m in enumerate(self._meta)}
+        updates, new_embs, new_meta = {}, [], []
+        for path, fp in sorted(fingerprints.items()):
+            emb = np.asarray(fp["embedding"], np.float32)
+            meta = {k: v for k, v in fp.items() if k != "embedding"}
+            meta["path"] = path
+            if path in existing:
+                updates[existing[path]] = (emb, meta)
+            else:
+                new_embs.append(emb)
+                new_meta.append(meta)
+        if updates:
+            flat = self._flat_embeddings()
+            for i, (emb, meta) in updates.items():
+                flat[i] = emb
+                self._meta[i] = meta
+            self._chunks = [flat]
+        if new_embs:
+            self.add(np.stack(new_embs), new_meta)
+        self._dirty = True
+
+    def fingerprints(self) -> Dict[str, dict]:
+        """{path: {embedding, ...meta}} — the scanner's fingerprint shape,
+        usable directly as the incremental-scan cache."""
+        flat = self._flat_embeddings()
+        out: Dict[str, dict] = {}
+        for i, m in enumerate(self._meta):
+            entry = dict(m)
+            entry["embedding"] = np.asarray(flat[i], np.float32)
+            out[m.get("path", f"#{i}")] = entry
+        return out
+
+    def meta(self, i: int) -> dict:
+        return self._meta[i]
+
+    def _flat_embeddings(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros((0, self.dim), np.float32)
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks, axis=0)]
+        return self._chunks[0]
 
     def _corpus(self):
         if self._staged is None or self._dirty:
+            import jax
+            import jax.numpy as jnp
+
             if not self._chunks:
                 raise ValueError("index is empty")
             self._staged = jax.device_put(
-                jnp.asarray(np.concatenate(self._chunks, axis=0)), self.device
+                jnp.asarray(self._flat_embeddings()), self.device
             )
             self._dirty = False
         return self._staged
@@ -55,6 +145,11 @@ class FingerprintIndex:
     def search(self, queries: np.ndarray, k: int = 20) -> Tuple[np.ndarray, np.ndarray]:
         """Exact inner-product k-NN. Returns (scores (M, k), indices (M, k));
         k is capped at the corpus size (FAISS pads with -1, we cap instead)."""
+        import jax
+        import jax.numpy as jnp
+
+        from video_fingerprint_tpu.ops.topk import topk_search
+
         corpus = self._corpus()
         k = min(k, corpus.shape[0])
         q = jax.device_put(jnp.asarray(np.ascontiguousarray(queries, np.float32)),
@@ -63,14 +158,30 @@ class FingerprintIndex:
         return np.asarray(scores), np.asarray(idx)
 
     def save(self, path) -> None:
-        np.savez_compressed(path, embeddings=np.concatenate(self._chunks, axis=0)
-                            if self._chunks else np.zeros((0, self.dim), np.float32))
+        """Atomic write: embeddings + meta JSON + model-identity JSON."""
+        path = Path(path)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as f:  # handle: savez would append ".npz" to a name
+            np.savez_compressed(
+                f,
+                embeddings=self._flat_embeddings(),
+                meta=np.array(json.dumps(self._meta)),
+                model_identity=np.array(json.dumps(self.model_identity)),
+            )
+        tmp.replace(path)
 
     @classmethod
     def load(cls, path, device: Optional[object] = None) -> "FingerprintIndex":
-        data = np.load(Path(path))
+        """Loads current and legacy formats (meta/model_identity optional)."""
+        data = np.load(Path(path), allow_pickle=False)
         emb = data["embeddings"]
-        index = cls(dim=emb.shape[1] if emb.size else 256, device=device)
+        meta = json.loads(str(data["meta"])) if "meta" in data else None
+        identity = (json.loads(str(data["model_identity"]))
+                    if "model_identity" in data else {})
+        index = cls(dim=emb.shape[1] if emb.size else 256, device=device,
+                    model_identity=identity)
         if emb.size:
-            index.add(emb)
+            index.add(emb, meta)
+        elif meta:
+            index._meta = list(meta)
         return index

@@ -9,50 +9,56 @@ measured >10k videos/s device throughput the scan is host-decode-bound, so
 skipping decode for the unchanged corpus majority is the dominant win for
 repeated scans over growing libraries.
 
-Format: one .npz — `embeddings` (N, D) float32 + `meta` (JSON) with the
-per-video metadata minus the embedding. Same content as the results-JSON
-fingerprints section, so the cache is also loadable as a corpus snapshot.
+Storage is `inference.index.FingerprintIndex` (one .npz: embeddings +
+per-video meta + model identity), so the same file also serves the
+`--against` query-vs-corpus mode. Loading validates the stored model
+identity against the running model: embeddings from a different checkpoint
+live in a different space and silently reusing them would corrupt duplicate
+detection — a mismatched or corrupt index degrades loudly to a full rescan.
 """
 
 from __future__ import annotations
 
-import json
-from pathlib import Path
-from typing import Dict
+from typing import Dict, Optional
 
-import numpy as np
+from video_fingerprint_tpu.inference.index import (
+    FingerprintIndex,
+    identity_mismatch,
+)
 
 
-def save_cache(path, fingerprints: Dict[str, dict]) -> None:
+def save_cache(path, fingerprints: Dict[str, dict],
+               model_identity: Optional[dict] = None) -> None:
     """fingerprints: {path: {embedding, name, size, file_hash, ...}}."""
-    path = Path(path)
-    items = sorted(fingerprints.items())
-    embeddings = (
-        np.stack([np.asarray(fp["embedding"], np.float32) for _, fp in items])
-        if items else np.zeros((0, 0), np.float32)
-    )
-    meta = [
-        {k: v for k, v in fp.items() if k != "embedding"} | {"path": p}
-        for p, fp in items
-    ]
-    tmp = path.with_suffix(path.suffix + ".tmp")
-    with open(tmp, "wb") as f:  # file handle: savez would append ".npz" to a name
-        np.savez_compressed(f, embeddings=embeddings,
-                            meta=np.array(json.dumps(meta)))
-    tmp.replace(path)
+    dims = {len(fp["embedding"]) for fp in fingerprints.values()}
+    index = FingerprintIndex(dim=dims.pop() if len(dims) == 1 else 256,
+                             model_identity=model_identity)
+    index.add_fingerprints(fingerprints)
+    index.save(path)
 
 
-def load_cache(path) -> Dict[str, dict]:
-    """Returns {} for a missing file (first scan)."""
+def load_cache(path, expect_identity: Optional[dict] = None) -> Dict[str, dict]:
+    """Returns {} for a missing, corrupt, or model-mismatched index (the scan
+    then proceeds as a full rescan)."""
+    from pathlib import Path
+
     path = Path(path)
     if not path.exists():
         return {}
-    data = np.load(path, allow_pickle=False)
-    meta = json.loads(str(data["meta"]))
-    embeddings = data["embeddings"]
-    out: Dict[str, dict] = {}
-    for i, m in enumerate(meta):
-        m = dict(m)
-        m["embedding"] = np.asarray(embeddings[i], np.float32)
-        out[m["path"]] = m
-    return out
+    try:
+        index = FingerprintIndex.load(path)
+    except Exception as e:  # noqa: BLE001 - a bad index must not sink the scan
+        print(f"Warning: scan index {path} is unreadable ({e}); "
+              f"performing a full rescan")
+        return {}
+    reason = identity_mismatch(index.model_identity, expect_identity)
+    if reason is None and expect_identity and not index.model_identity:
+        # legacy index without identity: the embedding dim is the only check
+        dim = expect_identity.get("embedding_dim")
+        if dim is not None and len(index) and index.dim != dim:
+            reason = f"embedding_dim: index has {index.dim}, model has {dim}"
+    if reason:
+        print(f"Warning: scan index {path} was built by a different model "
+              f"({reason}); ignoring it and performing a full rescan")
+        return {}
+    return index.fingerprints()

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video_fingerprint_tpu.data import decode, preprocess
+from video_fingerprint_tpu.inference.index import identity_mismatch
 from video_fingerprint_tpu.models import create_model
 from video_fingerprint_tpu.training.checkpoint import load_any
 
@@ -96,6 +97,11 @@ class FingerprintScanner:
         print(f"Loading model from {model_path}...")
         self.variables, self.config = load_any(model_path)
         self.model_type = self.config.get("model_type", "attention")
+        # identity of the embedding space: config + parameter hash, computed
+        # on the raw checkpoint variables (stable across optimize/bf16 flags).
+        # Persisted into scan indexes so embeddings from a different
+        # checkpoint are rejected instead of silently mixed (ADVICE r2).
+        param_hash = _hash_variables(self.variables)
 
         # Lossless inference fusion (models/fuse.py): eval BN folded into conv
         # weights. Bit-parity with the standard layout is gated by
@@ -115,6 +121,13 @@ class FingerprintScanner:
         self.clip_length = self.config.get("clip_length", 128)
         self.frame_stride = self.config.get("frame_stride", 32)
         self.embedding_dim = self.config.get("embedding_dim", 256)
+        self.model_identity = {
+            "model_type": self.model_type,
+            "embedding_dim": self.embedding_dim,
+            "frame_size": self.frame_size,
+            "max_frames": self.max_frames,
+            "param_hash": param_hash,
+        }
 
         self.model = create_model(
             dtype=jnp.bfloat16 if bf16 else None,
@@ -753,6 +766,78 @@ class FingerprintScanner:
             if len(group) > 1:
                 groups.append(group)
         return groups
+
+    def find_duplicates_against(
+        self,
+        fingerprints: Dict[str, dict],
+        index,
+        similarity_threshold: float = 0.95,
+        k: int = 20,
+    ) -> List[List[dict]]:
+        """Query-vs-corpus search: each freshly scanned video is searched
+        against a persisted `FingerprintIndex` corpus and reported as a group
+        [query, matching corpus entries...] when any corpus entry clears the
+        threshold. This is the incremental-library workload the reference's
+        FAISS path exists to serve (fingerprint.py:515-548) without
+        re-embedding the corpus. Entries whose path equals the query's are
+        skipped (a corpus that already contains the query always self-matches
+        at ~1.0)."""
+        if not fingerprints or len(index) == 0:
+            return []
+        reason = identity_mismatch(index.model_identity, self.model_identity)
+        if reason:
+            raise ValueError(
+                f"corpus index was built by a different model ({reason}); "
+                f"its embeddings are not comparable with this checkpoint's"
+            )
+        if index.dim != self.embedding_dim:
+            raise ValueError(
+                f"corpus index embedding dim {index.dim} != model "
+                f"embedding dim {self.embedding_dim}"
+            )
+
+        paths = list(fingerprints.keys())
+        queries = np.stack(
+            [np.asarray(fingerprints[p]["embedding"], np.float32) for p in paths]
+        )
+        sims, idx = index.search(queries, k=k)
+
+        groups: List[List[dict]] = []
+        for qi, path in enumerate(paths):
+            anchor = dict(fingerprints[path])
+            anchor["similarity"] = 1.0
+            group = [anchor]
+            for sim, j in zip(sims[qi], idx[qi]):
+                if sim < similarity_threshold:
+                    continue
+                meta = index.meta(int(j))
+                if meta.get("path") == path:
+                    continue
+                item = dict(meta)
+                item["similarity"] = float(sim)
+                group.append(item)
+            if len(group) > 1:
+                groups.append(group)
+
+        for group in groups:
+            hashes = [item.get("file_hash") for item in group]
+            for item in group:
+                item["exact_duplicate"] = (
+                    item.get("file_hash") is not None
+                    and hashes.count(item["file_hash"]) > 1
+                )
+        return groups
+
+
+def _hash_variables(variables) -> str:
+    """Deterministic md5 over every array leaf of a variables pytree (sorted
+    key-path order) — the model-identity component of scan indexes."""
+    leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
+    md5 = hashlib.md5()
+    for path, leaf in sorted(leaves, key=lambda kv: jax.tree_util.keystr(kv[0])):
+        md5.update(jax.tree_util.keystr(path).encode())
+        md5.update(np.ascontiguousarray(leaf).tobytes())
+    return md5.hexdigest()
 
 
 def _pick_device(device: str):
