@@ -61,18 +61,12 @@ def main():
     ]
     staged = [jax.device_put(a, dev) for a in batches]
 
-    # FLOPs per call from the compiled program (exact); fall back to the
-    # analytic estimate if the backend does not expose cost analysis.
-    flops_per_call = None
-    try:
-        cost = fwd.lower(fused_vars, staged[0]).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_call = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-
     np.asarray(fwd(fused_vars, staged[0]))  # compile + warm
+    # NB: plain jit dispatch on purpose — AOT `lower().compile()` never
+    # completes on the axon remote-compile backend (round-3 postmortem: two
+    # 600s bench timeouts). FLOPs for MFU come from the *lowered* module
+    # after the measurements, alarm-guarded, so they can never sink the
+    # number (see main's tail).
 
     # Pipelined dispatch: batches dispatched back-to-back (XLA async), one
     # blocking readback per window — the production scanner's regime
@@ -110,12 +104,30 @@ def main():
         "sync_per_batch_vps": round(sync_vps, 3),
         "streaming_vps_via_dev_tunnel": round(stream_vps, 3),
     }
-    if flops_per_call:
-        out["mfu_vs_v5e_bf16_peak"] = round(
-            flops_per_call / pipe_t / V5E_BF16_PEAK_FLOPS, 4
-        )
-        out["tflops_per_batch"] = round(flops_per_call / 1e12, 3)
-    print(json.dumps(out), flush=True)
+    print(json.dumps(out), flush=True)  # measurements are safe on stdout now
+
+    # MFU from client-side cost analysis of the lowered module (no backend
+    # compile). Alarm-guarded: if analysis hangs or is unsupported on this
+    # backend, the measurement line above already stands.
+    import signal
+
+    signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(TimeoutError()))
+    signal.alarm(60)
+    try:
+        cost = fwd.lower(fused_vars, staged[0]).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0))
+        if flops_per_call > 0:
+            out["mfu_vs_v5e_bf16_peak"] = round(
+                flops_per_call / pipe_t / V5E_BF16_PEAK_FLOPS, 4
+            )
+            out["tflops_per_batch"] = round(flops_per_call / 1e12, 3)
+            print(json.dumps(out), flush=True)
+    except Exception:
+        pass
+    finally:
+        signal.alarm(0)
 
 
 if __name__ == "__main__":

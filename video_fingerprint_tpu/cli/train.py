@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="Rematerialize forward activations in the backward "
                         "pass (jax.checkpoint): less HBM, one extra forward")
+    p.add_argument("--device_augment", action="store_true",
+                   help="Run the clip augmentations on device inside the "
+                        "jitted train step (vectorized jax.random ops; same "
+                        "transforms/probabilities as the host pipeline); the "
+                        "loader then applies only resize + JPEG recompress. "
+                        "Frees host cores on decode-bound boxes")
     p.add_argument("--native_decode", action="store_true",
                    help="C++ libav fused decode for eval-mode attention "
                         "loads (falls back to cv2 when unavailable; train "
@@ -134,6 +140,7 @@ def main(argv=None) -> int:
         mask_padding=not args.no_mask_padding,
         profile=args.profile,
         extras={"remat": args.remat, "bf16": args.bf16,
+                "device_augment": args.device_augment,
                 "checkpoint_backend": "orbax" if args.orbax else "msgpack"},
     ).to_dict()
 
@@ -165,6 +172,7 @@ def main(argv=None) -> int:
         shard_index=shard_index,
         shard_count=shard_count,
         decode_backend="native" if args.native_decode else "cv2",
+        augment_mode="device" if args.device_augment else "host",
     )
     val_loader = create_dataloader(
         args.data_dir,

@@ -111,6 +111,20 @@ class ClipAugmentParams:
         return p
 
 
+def apply_jpeg_only(
+    frames: List[np.ndarray], rng: np.random.Generator
+) -> List[np.ndarray]:
+    """The host-side subset for device-augment mode (ops/device_augment.py):
+    JPEG recompression is a codec and cannot move on-device; everything else
+    runs inside the train step. Same p=.5 gate and quality range as the full
+    pipeline (reference dataset.py:257, :313-319)."""
+    p = ClipAugmentParams()
+    p.do_compression = rng.random() > 0.5
+    if p.do_compression:
+        p.jpeg_quality = int(rng.integers(30, 91))
+    return apply_augmentations(frames, rng, 0, params=p)
+
+
 def apply_augmentations(
     frames: List[np.ndarray],
     rng: np.random.Generator,

@@ -49,8 +49,14 @@ class VideoFingerprintDataset:
         shard_index: int = 0,
         shard_count: int = 1,
         decode_backend: str = "cv2",
+        augment_mode: str = "host",
     ):
         self.video_dir = Path(video_dir)
+        # "host": full reference augmentation pipeline in the loader.
+        # "device": the loader applies only resize + JPEG recompression; the
+        # remaining transforms run inside the jitted train step
+        # (ops/device_augment.py) — the train CLI's --device_augment.
+        self.augment_mode = augment_mode
         self.frame_size = frame_size
         self.max_frames = max_frames
         self.clip_length = clip_length
@@ -96,10 +102,37 @@ class VideoFingerprintDataset:
         # truncated to equal size (dropping <= shard_count-1 samples): every
         # host must run the SAME number of batches per epoch or the jitted
         # step's collectives deadlock mid-epoch.
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         total = len(self.samples)
         self.samples = self.samples[shard_index::shard_count]
         if shard_count > 1:
             self.samples = self.samples[: total // shard_count]
+
+        # Multi-host bucket agreement (VERDICT r2 #3): every host derives an
+        # upper bound on each GLOBAL sample's clip length from container
+        # metadata alone (min(probed total_frames, max_frames) — decode
+        # subsampling and extract sampling only shorten clips), so the
+        # per-step bucket can be computed identically everywhere without
+        # seeing other hosts' pixels. BucketedLoader turns this into a
+        # shared (seed, epoch, step)-deterministic bucket schedule.
+        self.global_est_lengths: Optional[np.ndarray] = None
+        if shard_count > 1 and model_type == "attention":
+            from concurrent.futures import ThreadPoolExecutor
+
+            def probe_cap(path):
+                try:
+                    info = decode.probe(path)
+                    if info and info.total_frames > 0:
+                        return min(info.total_frames, self.max_frames)
+                except Exception:
+                    pass
+                return self.max_frames  # unknown: safe upper bound
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                self.global_est_lengths = np.asarray(
+                    list(pool.map(probe_cap, self.video_paths)), np.int64
+                )
 
         print(f"Found {len(self.video_paths)} videos")
         print(f"Dataset mode: {model_type}, Total samples: {len(self)}")
@@ -205,8 +238,12 @@ class VideoFingerprintDataset:
             for f in frames2
         ]
         if self.augment:
-            frames1 = aug.apply_augmentations(frames1, rng, self.frame_size)
-            frames2 = aug.apply_augmentations(frames2, rng, self.frame_size)
+            if self.augment_mode == "device":
+                frames1 = aug.apply_jpeg_only(frames1, rng)
+                frames2 = aug.apply_jpeg_only(frames2, rng)
+            else:
+                frames1 = aug.apply_augmentations(frames1, rng, self.frame_size)
+                frames2 = aug.apply_augmentations(frames2, rng, self.frame_size)
         # uint8 clips: normalization is fused on-device (train_step.py
         # normalize_clip), quartering H2D bytes per batch.
         clip1 = preprocess.frames_to_clip_u8(frames1)
@@ -331,7 +368,33 @@ class BucketedLoader:
                     pending.append(ex.submit(self.dataset.get, int(idx), self.epoch))
                     break
 
-    def _collate(self, batch: List[dict]) -> Dict[str, np.ndarray]:
+    def _bucket_schedule(self, order) -> Optional[List[int]]:
+        """Per-step buckets agreed across hosts without communication
+        (VERDICT r2 #3): every host holds the same global metadata
+        (dataset.global_est_lengths), the same shard arithmetic
+        (global index = local*shard_count + host) and the same seeded
+        permutation, so each computes the identical
+        max-over-all-hosts'-step-batch length bound. Buckets then track the
+        data (short corpora pad to short buckets) yet can never diverge or
+        truncate: the bound dominates every host's actual clip lengths."""
+        ds = self.dataset
+        est = getattr(ds, "global_est_lengths", None)
+        if ds.shard_count <= 1 or est is None:
+            return None
+        B = self.batch_size
+        hosts = np.arange(ds.shard_count, dtype=np.int64)
+        schedule = []
+        for s in range(0, len(order), B):
+            js = np.asarray(order[s : s + B], np.int64)
+            global_idx = (js[:, None] * ds.shard_count + hosts[None, :]).ravel()
+            schedule.append(
+                preprocess.bucket_for_length(int(est[global_idx].max()), self.buckets)
+            )
+        return schedule
+
+    def _collate(
+        self, batch: List[dict], scheduled_bucket: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
         B = len(batch)
         out: Dict[str, np.ndarray] = {
             "video_id": np.asarray([s["video_id"] for s in batch], np.int32)
@@ -339,7 +402,11 @@ class BucketedLoader:
         # One shared bucket for both sides: a (T1, T2) pair of independent
         # buckets would make the jitted train step recompile quadratically.
         max_t = max(s[side].shape[0] for s in batch for side in ("clip1", "clip2"))
-        bucket = preprocess.bucket_for_length(max_t, self.buckets)
+        bucket = (
+            scheduled_bucket
+            if scheduled_bucket is not None
+            else preprocess.bucket_for_length(max_t, self.buckets)
+        )
         for side in ("clip1", "clip2"):
             hwc = batch[0][side].shape[1:]
             clips = np.zeros((B, bucket) + hwc, batch[0][side].dtype)
@@ -361,14 +428,19 @@ class BucketedLoader:
         else:
             order = np.arange(n)
 
+        schedule = self._bucket_schedule(order)
         batch: List[dict] = []
+        step = 0
         for sample in self._sample_iter(order):
             batch.append(sample)
             if len(batch) == self.batch_size:
-                yield self._collate(batch)
+                yield self._collate(
+                    batch, schedule[step] if schedule else None
+                )
                 batch = []
+                step += 1
         if batch and not self.drop_last:
-            yield self._collate(batch)
+            yield self._collate(batch, schedule[step] if schedule else None)
         self.epoch += 1
 
 
@@ -386,15 +458,17 @@ def create_dataloader(
     shard_index: int = 0,
     shard_count: int = 1,
     decode_backend: str = "cv2",
+    augment_mode: str = "host",
 ) -> BucketedLoader:
     """Factory mirroring the reference signature (dataset.py:531-579)."""
     buckets = None
-    if shard_count > 1:
-        # Multi-host: all hosts must pick the IDENTICAL padded length each
-        # step (different buckets = different compiled programs = collective
-        # deadlock), and data-dependent bucket choice diverges across host
-        # shards — so pin a single bucket at the cap.
-        buckets = (max_frames if model_type == "attention" else clip_length,)
+    if shard_count > 1 and model_type != "attention":
+        # Multi-host 3D: clips are fixed clip_length frames, so the single
+        # natural bucket is the cap. (Attention multi-host uses the shared
+        # metadata-derived bucket schedule — BucketedLoader._bucket_schedule —
+        # so hosts agree on a per-step bucket without pinning everything to
+        # max_frames.)
+        buckets = (clip_length,)
     dataset = VideoFingerprintDataset(
         video_dir=video_dir,
         frame_size=frame_size,
@@ -408,6 +482,7 @@ def create_dataloader(
         shard_index=shard_index,
         shard_count=shard_count,
         decode_backend=decode_backend,
+        augment_mode=augment_mode,
     )
     return BucketedLoader(
         dataset,

@@ -117,6 +117,7 @@ def make_train_step(
     use_triplet: bool = True,
     mask_padding: bool = True,
     remat: bool = False,
+    device_augment: bool = False,
 ) -> Callable:
     """Build the fused train step: (state, batch, rng) -> (state, metrics).
 
@@ -128,6 +129,12 @@ def make_train_step(
     roughly by the conv stack's activation footprint (B*T frames) at the
     cost of one extra forward — the standard lever for scaling batch/frames
     per chip.
+
+    device_augment=True runs the clip-level augmentations on device inside
+    this compiled step (ops/device_augment.py) — the loader must then supply
+    clips augmented only by the host-side subset (resize + JPEG recompress;
+    data/dataset.py augment_mode="device"). Each clip of the pair draws its
+    own params, like the host pipeline's two apply_augmentations calls.
     """
 
     def _fwd_train(params, batch_stats, x, mask, d_rng):
@@ -155,6 +162,15 @@ def make_train_step(
         B = clip1.shape[0]
         m1 = batch.get("mask1") if mask_padding else None
         m2 = batch.get("mask2") if mask_padding else None
+        if device_augment:
+            from video_fingerprint_tpu.ops.device_augment import augment_clips
+
+            a_rng1, a_rng2, d_rng = jax.random.split(d_rng, 3)
+            # augment BEFORE extract sampling, like the reference (the
+            # dataset augments the pair, compute_loss extracts from the
+            # augmented clips). Padded frames are re-zeroed by the mask.
+            clip1 = augment_clips(a_rng1, clip1, batch.get("mask1"))
+            clip2 = augment_clips(a_rng2, clip2, batch.get("mask2"))
 
         if model_type == "attention":
             B_, T_ = clip1.shape[0], clip1.shape[1]

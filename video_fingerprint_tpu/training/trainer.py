@@ -136,6 +136,7 @@ class Trainer:
                 triplet_margin=config.get("triplet_margin", 0.3),
                 mask_padding=config.get("mask_padding", True),
                 remat=config.get("remat", False),
+                device_augment=config.get("device_augment", False),
             ),
             donate_argnums=(0,),
         )
