@@ -382,16 +382,32 @@ class Trainer:
 
         embeddings = np.concatenate(all_embeddings, axis=0)
         ids = np.asarray(all_video_ids, np.int32)
-
-        r = retrieval_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
         n_videos = len(set(ids.tolist()))
-        for k in (1, 5, 10):  # the reference skips k > n_videos-1 (train.py:449)
-            if k <= n_videos - 1:
-                metrics[f"R@{k}"] = float(r[f"R@{k}"])
-        metrics["mAP"] = float(r["mAP"])
 
-        d = discrimination_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
-        metrics.update({k: float(v) for k, v in d.items()})
+        # Above the threshold, the dense N x N similarity matrix of the
+        # reference's validation (train.py:439-481; SURVEY.md §3.5) stops
+        # fitting: the streaming path computes the SAME metrics in
+        # O(block * N) memory (tests/test_metrics.py gates equivalence).
+        threshold = self.config.get("streaming_metrics_threshold", 8192)
+        if embeddings.shape[0] > threshold:
+            from video_fingerprint_tpu.ops.metrics import (
+                streaming_validation_metrics,
+            )
+
+            s = streaming_validation_metrics(embeddings, ids)
+            for k in (1, 5, 10):  # reference skips k > n_videos-1 (train.py:449)
+                if k > n_videos - 1:
+                    s.pop(f"R@{k}", None)
+            metrics.update(s)
+        else:
+            r = retrieval_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
+            for k in (1, 5, 10):
+                if k <= n_videos - 1:
+                    metrics[f"R@{k}"] = float(r[f"R@{k}"])
+            metrics["mAP"] = float(r["mAP"])
+
+            d = discrimination_metrics(jnp.asarray(embeddings), jnp.asarray(ids))
+            metrics.update({k: float(v) for k, v in d.items()})
 
         if self.model_type == "attention" and robustness_batches:
             metrics.update(self._extract_robustness(robustness_batches))
