@@ -37,6 +37,26 @@ import sys
 import time
 from pathlib import Path
 
+# The image's sitecustomize registers an axon TPU *session* in EVERY python
+# process at interpreter boot — including this orchestrator, which never
+# touches jax. A parent process holding a session starves its child's device
+# claim: the headline leg measured 280-325s standalone but timed out at
+# 600-780s whenever any python parent was alive (round-3 postmortem,
+# empirically reproduced with a minimal subprocess.run parent). So the
+# orchestrator re-execs itself ONCE with the pool env removed (no session
+# registered), and restores the env for the measurement children.
+if os.environ.get("PALLAS_AXON_POOL_IPS") and "VFP_BENCH_REEXEC" not in os.environ:
+    _env = dict(os.environ)
+    _env["VFP_AXON_POOL_IPS_SAVED"] = _env.pop("PALLAS_AXON_POOL_IPS")
+    _env["VFP_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__),
+                               *sys.argv[1:]], _env)
+
+_CHILD_ENV = dict(os.environ)
+if "VFP_AXON_POOL_IPS_SAVED" in _CHILD_ENV:
+    _CHILD_ENV["PALLAS_AXON_POOL_IPS"] = _CHILD_ENV.pop("VFP_AXON_POOL_IPS_SAVED")
+_CHILD_ENV.pop("VFP_BENCH_REEXEC", None)
+
 REPO = Path(__file__).resolve().parent
 CACHE_FILE = REPO / ".bench_cache.json"
 E2E_CACHE_DIR = REPO / ".bench_cache"
@@ -56,7 +76,7 @@ def _run_leg(cmd, timeout):
     try:
         out = subprocess.run(
             [sys.executable, *cmd], capture_output=True, text=True,
-            timeout=timeout, cwd=REPO,
+            timeout=timeout, cwd=REPO, env=_CHILD_ENV,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
@@ -113,8 +133,13 @@ def main():
     baseline = torch_baseline()
     ref_vps = baseline.get("reference_torch_cpu_vps", -1.0)
 
-    head = _run_leg(["tools/bench_headline.py"],
-                    timeout=min(600.0, _remaining()))
+    # The headline gets nearly the whole budget: tunnel handshake alone has
+    # been measured anywhere from 3 to 8 minutes in degraded windows. One
+    # retry if the first attempt fails with >=240s left (a fresh process
+    # gets a fresh handshake, often in a better window).
+    head = _run_leg(["tools/bench_headline.py"], timeout=_remaining() - 60)
+    if not head and _remaining() > 240:
+        head = _run_leg(["tools/bench_headline.py"], timeout=_remaining() - 30)
     vps = head.pop("pipelined_vps", -1.0)
     result = {
         "metric": "fingerprint extraction throughput (attention, T=128, 64x64)",

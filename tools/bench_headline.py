@@ -20,6 +20,7 @@ comparable even when the tunnel is noisy (VERDICT r2 #7).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -29,7 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 B = 512        # device batch (amortizes the ~30ms dev-tunnel RTT per call)
 T = 128        # frames per video
 HW = 64
-N_BATCHES = 4
+N_BATCHES = 2
 PIPELINE_DEPTH = 12  # dispatches per pipelined timing window
 V5E_BF16_PEAK_FLOPS = 197e12  # per-chip peak, TPU v5e datasheet
 
@@ -47,16 +48,43 @@ def main():
     fused_model = create_model("attention", fused=True, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     dev = jax.devices()[0]
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 8, HW, HW, 3), jnp.float32)
-    )
-    fused_vars = jax.device_put(fuse_variables(variables, "attention"), dev)
+    # init on the CPU backend + fold BN on host: the TPU sees exactly one
+    # upload of the final fused tree. (Init on-TPU costs a ~1 min remote
+    # compile; np.asarray of TPU-resident leaves costs ~50 tunnel readbacks.)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.tree.map(
+            np.asarray,
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, HW, HW, 3),
+                                                        jnp.float32)),
+        )
+    fused_host = fuse_variables(variables, "attention")
+    fused_vars = jax.device_put(fused_host, dev)
+
+    # FLOPs for MFU from client-side cost analysis of the CPU-lowered module
+    # (identical shapes/HLO math; never touches the tunnel — Lowered
+    # .cost_analysis() against the axon backend stalls).
+    flops_per_call = None
+    try:
+        with jax.default_device(jax.devices("cpu")[0]):
+            cost = (
+                jax.jit(lambda v, x: fused_model.apply(v, x, B,
+                                                       method="forward_flat"))
+                .lower(fused_host, jnp.zeros((B * T, HW, HW, 3), jnp.uint8))
+                .cost_analysis()
+            )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     # uint8 + on-device normalize: the production scan pipeline ships uint8
-    # frames (4x less transfer), pre-flattened to (B*T, H, W, C).
+    # frames (4x less transfer), pre-flattened to (B*T, H, W, C). Drawn as
+    # uint8 directly — a float64 draw of this volume takes minutes on this
+    # throttled 1-core host (round-3 postmortem).
     fwd = jax.jit(lambda v, x: fused_model.apply(v, x, B, method="forward_flat"))
     batches = [
-        (rng.random((B * T, HW, HW, 3)) * 255).astype(np.uint8)
+        rng.integers(0, 256, (B * T, HW, HW, 3), dtype=np.uint8)
         for _ in range(N_BATCHES)
     ]
     staged = [jax.device_put(a, dev) for a in batches]
@@ -90,44 +118,29 @@ def main():
         sync_times.append(time.perf_counter() - t0)
     sync_vps = B / float(np.median(sync_times))
 
-    # Streaming: includes per-batch uint8 H2D through the ~35 MB/s relay
-    # tunnel (reflects the tunnel, not the hardware).
-    stream_times = []
-    for arr in batches:
-        t0 = time.perf_counter()
-        np.asarray(fwd(fused_vars, jnp.asarray(arr)))
-        stream_times.append(time.perf_counter() - t0)
-    stream_vps = B / float(np.median(stream_times))
-
     out = {
         "pipelined_vps": round(pipelined_vps, 3),
         "sync_per_batch_vps": round(sync_vps, 3),
-        "streaming_vps_via_dev_tunnel": round(stream_vps, 3),
     }
-    print(json.dumps(out), flush=True)  # measurements are safe on stdout now
 
-    # MFU from client-side cost analysis of the lowered module (no backend
-    # compile). Alarm-guarded: if analysis hangs or is unsupported on this
-    # backend, the measurement line above already stands.
-    import signal
-
-    signal.signal(signal.SIGALRM, lambda *_: (_ for _ in ()).throw(TimeoutError()))
-    signal.alarm(60)
-    try:
-        cost = fwd.lower(fused_vars, staged[0]).cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_call = float(cost.get("flops", 0.0))
-        if flops_per_call > 0:
-            out["mfu_vs_v5e_bf16_peak"] = round(
-                flops_per_call / pipe_t / V5E_BF16_PEAK_FLOPS, 4
-            )
-            out["tflops_per_batch"] = round(flops_per_call / 1e12, 3)
-            print(json.dumps(out), flush=True)
-    except Exception:
-        pass
-    finally:
-        signal.alarm(0)
+    # Streaming (per-batch 805MB uint8 H2D through the ~35 MB/s relay)
+    # measures the tunnel, not the hardware, and costs 1-3 minutes of the
+    # bench budget — opt-in only.
+    if os.environ.get("VFP_BENCH_STREAMING", "0") == "1":
+        stream_times = []
+        for arr in batches:
+            t0 = time.perf_counter()
+            np.asarray(fwd(fused_vars, jnp.asarray(arr)))
+            stream_times.append(time.perf_counter() - t0)
+        out["streaming_vps_via_dev_tunnel"] = round(
+            B / float(np.median(stream_times)), 3
+        )
+    if flops_per_call:
+        out["mfu_vs_v5e_bf16_peak"] = round(
+            flops_per_call / pipe_t / V5E_BF16_PEAK_FLOPS, 4
+        )
+        out["tflops_per_batch"] = round(flops_per_call / 1e12, 3)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
