@@ -200,12 +200,32 @@ def _blur(x: Array, blur_idx: Array) -> Array:
     return pass_axis(y, x.ndim - 2)  # W
 
 
-def _rotate_bilinear(x: Array, angle_deg: Array) -> Array:
+def _rotate_bilinear(x: Array, angle_deg: Array,
+                     max_angle_deg: float = 5.0) -> Array:
     """Per-clip rotation about the frame center, bilinear, zero fill —
     cv2.warpAffine(getRotationMatrix2D(center, angle, 1.0)) semantics
-    (reference dataset.py:345-351). x: (B, ..., H, W, C)."""
+    (reference dataset.py:345-351). x: (B, ..., H, W, C).
+
+    Implemented as a static stencil, not a gather: a 2-D gather of 3-float
+    rows measured 181 ms/clip-batch on v5e (tools/exp_augment_hotspot.py,
+    B=16 T=64 — 96% of the whole augment pipeline) because tiny-row gathers
+    defeat the (8,128) tiled layout entirely. For |angle| <= max_angle_deg
+    the source displacement is bounded by R = ceil((1-cos a)*r + sin(a)*r)
+    pixels (R=3 at 5 deg on 64x64), so bilinear sampling
+    out[p] = sum_q max(0,1-|sy-qy|)*max(0,1-|sx-qx|)*img[q] has all its
+    nonzero terms inside a (2R+1)^2 window of shifted slices — 49 fused
+    multiply-adds, identical arithmetic to the 4-tap gather form (the extra
+    taps are exact zeros). Requires |angle_deg| <= max_angle_deg; the
+    sampler draws +-5 deg (reference dataset.py:346)."""
+    import numpy as np
+
     H, W = x.shape[-3], x.shape[-2]
     cy, cx = H // 2, W // 2  # cv2 center=(W//2, H//2)
+    a = np.radians(max_angle_deg)
+    mx = max(cx, W - 1 - cx)
+    my = max(cy, H - 1 - cy)
+    R = int(np.ceil(max((1 - np.cos(a)) * mx + np.sin(a) * my,
+                        np.sin(a) * mx + (1 - np.cos(a)) * my)))
     # cv2 positive angle = CCW in image coords; the inverse (dst->src) map
     # then uses +theta directly (verified to 5e-6 against warpAffine).
     theta = angle_deg * (jnp.pi / 180.0)
@@ -218,39 +238,28 @@ def _rotate_bilinear(x: Array, angle_deg: Array) -> Array:
     # source coords for each destination pixel (inverse rotation)
     sx = cos.reshape(bshape) * (xx - cx) - sin.reshape(bshape) * (yy - cy) + cx
     sy = sin.reshape(bshape) * (xx - cx) + cos.reshape(bshape) * (yy - cy) + cy
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx, fy = sx - x0, sy - y0
 
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-        yi = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xi = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        flat = yi * W + xi  # (B, H, W)
-        xr = x.reshape(x.shape[:-3] + (H * W, x.shape[-1]))
-        extra = x.ndim - 4  # e.g. the T axis
-        idx = flat.reshape((flat.shape[0],) + (1,) * extra + flat.shape[1:])
-        idx = jnp.broadcast_to(idx, x.shape[:-3] + (H, W))
-        g = jnp.take_along_axis(
-            xr, idx.reshape(x.shape[:-3] + (H * W, 1)), axis=-2
-        ).reshape(x.shape)
-        vm = valid.reshape((valid.shape[0],) + (1,) * extra + (H, W, 1))
-        return g * vm.astype(x.dtype)
+    extra = x.ndim - 4  # dims between B and (H, W, C), e.g. the T axis
+    P = R + 1
+    pad = [(0, 0)] * x.ndim
+    pad[-3] = (P, P)
+    pad[-2] = (P, P)
+    xp = jnp.pad(x, pad)  # zero fill = cv2 BORDER_CONSTANT(0)
+    # per-axis triangle weights for each integer tap offset: (2R+1, B, H, W)
+    offs = jnp.arange(-R, R + 1, dtype=jnp.float32)
+    wys = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (yy + offs[:, None, None, None])))
+    wxs = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (xx + offs[:, None, None, None])))
 
-    w00 = ((1 - fx) * (1 - fy))[..., None]
-    w01 = (fx * (1 - fy))[..., None]
-    w10 = ((1 - fx) * fy)[..., None]
-    w11 = (fx * fy)[..., None]
-    extra = x.ndim - 4
-    reshape_w = lambda w: w.reshape(  # noqa: E731
-        (w.shape[0],) + (1,) * extra + w.shape[1:]
-    )
-    return (
-        reshape_w(w00) * gather(y0, x0)
-        + reshape_w(w01) * gather(y0, x0 + 1)
-        + reshape_w(w10) * gather(y0 + 1, x0)
-        + reshape_w(w11) * gather(y0 + 1, x0 + 1)
-    )
+    acc = jnp.zeros_like(x)
+    for iy, dy in enumerate(range(-R, R + 1)):
+        for ix, dx in enumerate(range(-R, R + 1)):
+            w = (wys[iy] * wxs[ix]).astype(x.dtype)  # (B, H, W)
+            wb = w.reshape((w.shape[0],) + (1,) * extra + (H, W, 1))
+            sl = [slice(None)] * x.ndim
+            sl[-3] = slice(P + dy, P + dy + H)
+            sl[-2] = slice(P + dx, P + dx + W)
+            acc = acc + wb * xp[tuple(sl)]
+    return acc
 
 
 def apply_augmentations(
