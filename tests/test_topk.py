@@ -31,6 +31,53 @@ def test_topk_cosine_matches_oracle(embeddings):
     np.testing.assert_allclose(chosen, o_scores, atol=1e-5)
 
 
+def test_certified_topk_strict_matches_exact(embeddings):
+    """The certified-approx path (approx_max_k + exactness certificate +
+    repair) must return the exact per-row top-k score multiset."""
+    from video_fingerprint_tpu.ops.topk import topk_cosine
+
+    k = 20
+    s_ref, _ = topk_cosine(embeddings, k, query_block=128, method="exact")
+    s, i = topk_cosine(embeddings, k, query_block=128, method="certified")
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(s), axis=1), np.sort(np.asarray(s_ref), axis=1)
+    )
+    # returned scores must be the actual sims at the returned indices
+    sims = embeddings @ embeddings.T
+    chosen = np.take_along_axis(sims, np.asarray(i), axis=1)
+    np.testing.assert_allclose(np.sort(chosen, 1), np.sort(np.asarray(s), 1),
+                               atol=1e-6)
+
+
+def test_certified_topk_threshold_complete():
+    """With exact_above=thr, every corpus item >= thr per row must be in the
+    candidate list — on a corpus with planted near-duplicate clusters so the
+    threshold actually bites."""
+    sys_path_root = __import__("pathlib").Path(__file__).resolve().parents[1]
+    import sys
+
+    sys.path.insert(0, str(sys_path_root))
+    from tools.exp_topk_precision import make_corpus
+    from video_fingerprint_tpu.ops.topk import topk_cosine
+
+    e = make_corpus(600, 64, seed=3)
+    k, thr = 20, 0.95
+    s, i = topk_cosine(e, k, query_block=128, method="certified",
+                       exact_above=thr)
+    s, i = np.asarray(s), np.asarray(i)
+    sims = e @ e.T
+    for row in range(len(e)):
+        want = set(np.flatnonzero(sims[row] >= thr).tolist())
+        if len(want) >= k:
+            # rows truncated at k fall back to the strict certificate:
+            # compare score multisets instead of index sets
+            top = np.sort(sims[row])[::-1][:k]
+            np.testing.assert_allclose(np.sort(s[row])[::-1], top, atol=1e-6)
+        else:
+            got = {int(j) for ss, j in zip(s[row], i[row]) if ss >= thr}
+            assert want <= got, (row, want - got)
+
+
 def test_sharded_topk_matches_oracle(embeddings):
     import jax
 
@@ -86,7 +133,9 @@ def test_sharded_topk_large_corpus_scaling():
     # compiled per-device temp footprint: O(shard + qb*shard_rows sims block),
     # strictly below replicating the full (N, D) corpus per device (the old
     # design's floor).
-    fn = topk_mod._RING_CACHE[(mesh, "corpus", n, dim, k, k, qb)]
+    fn = topk_mod._RING_CACHE[
+        (mesh, "corpus", n, dim, k, k, qb, jax.lax.Precision.HIGH)
+    ]
     mem = fn.lower(
         jax.ShapeDtypeStruct((n, dim), jnp.float32),
         jax.ShapeDtypeStruct((), jnp.int32),

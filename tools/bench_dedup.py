@@ -94,6 +94,11 @@ def main() -> int:
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps_at_n, 2),
         "warmup_s": round(warm, 2),
+        # single-chip default is the certified-approx path (exact results
+        # via approx_max_k + certificate + repair, ops/topk.py); the sharded
+        # path is exact single-stage top-k.
+        "config": ("ring-sharded exact top-k" if multi
+                   else "certified approx_max_k (exact results), HIGH matmul"),
     }))
     return 0
 

@@ -142,9 +142,15 @@ class FingerprintIndex:
             self._dirty = False
         return self._staged
 
-    def search(self, queries: np.ndarray, k: int = 20) -> Tuple[np.ndarray, np.ndarray]:
+    def search(self, queries: np.ndarray, k: int = 20,
+               exact_above: Optional[float] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact inner-product k-NN. Returns (scores (M, k), indices (M, k));
-        k is capped at the corpus size (FAISS pads with -1, we cap instead)."""
+        k is capped at the corpus size (FAISS pads with -1, we cap instead).
+        `exact_above`: when the caller only consumes candidates at or above a
+        similarity threshold (duplicate grouping), passing it here lets the
+        certified-approx top-k use its cheaper threshold certificate
+        (ops/topk.py) — results are still exhaustive above the threshold."""
         import jax
         import jax.numpy as jnp
 
@@ -154,7 +160,7 @@ class FingerprintIndex:
         k = min(k, corpus.shape[0])
         q = jax.device_put(jnp.asarray(np.ascontiguousarray(queries, np.float32)),
                            self.device)
-        scores, idx = topk_search(q, corpus, k)
+        scores, idx = topk_search(q, corpus, k, exact_above=exact_above)
         return np.asarray(scores), np.asarray(idx)
 
     def save(self, path) -> None:

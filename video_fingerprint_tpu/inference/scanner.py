@@ -762,7 +762,12 @@ class FingerprintScanner:
         if len(jax.devices()) > 1 and len(embeddings) >= 8 * len(jax.devices()):
             sims, idx = sharded_topk_cosine(jnp.asarray(embeddings), k)
         else:
-            sims, idx = topk_cosine(jnp.asarray(embeddings), k)
+            # exact_above=threshold: the certified-approx path only needs
+            # candidate-completeness above the grouping threshold (the
+            # grouping below ignores everything under it), which keeps the
+            # repair pass near-empty (ops/topk.py).
+            sims, idx = topk_cosine(jnp.asarray(embeddings), k,
+                                    exact_above=threshold)
         sims, idx = np.asarray(sims), np.asarray(idx)
 
         processed = set()
@@ -814,7 +819,7 @@ class FingerprintScanner:
         queries = np.stack(
             [np.asarray(fingerprints[p]["embedding"], np.float32) for p in paths]
         )
-        sims, idx = index.search(queries, k=k)
+        sims, idx = index.search(queries, k=k, exact_above=similarity_threshold)
 
         groups: List[List[dict]] = []
         for qi, path in enumerate(paths):

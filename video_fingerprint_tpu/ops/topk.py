@@ -4,9 +4,15 @@ The reference searches duplicates with either a full `np.dot` all-pairs matrix
 (fingerprint.py:493) or FAISS IndexFlatIP with k=min(20,n) (fingerprint.py:
 515-548). Here both become device matmuls:
 
-  - `topk_cosine`: single-chip, query-tiled E @ Eᵀ + `lax.top_k`. Query tiling
-    (lax.map over static-size blocks) bounds the similarity matrix to
-    (block, N) so a 100k-corpus scan never materializes N².
+  - `topk_cosine` / `topk_search`: single-chip, query-tiled E @ Eᵀ. Query
+    tiling (lax.map over static-size blocks) bounds the similarity matrix to
+    (block, N) so a 100k-corpus scan never materializes N². Selection is
+    either exact `lax.top_k` or — the TPU default — `lax.approx_max_k`
+    (the TPU PartialReduce unit, measured at the matmul+max floor) plus a
+    per-row exactness CERTIFICATE and an exact repair pass for the rows that
+    fail it, so results keep exact semantics at approx speed (measured 5.4x
+    the full-sort rate at 100k x 256; tools/exp_topk_blocked.py /
+    exp_topk_cert.py).
   - `sharded_topk_cosine`: corpus- AND query-sharded over a 1-D mesh via a
     shard_map ring. Each chip holds an (N/d, D) shard that serves as both its
     query rows and a corpus tile; corpus tiles rotate around the ring via
@@ -28,6 +34,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 Array = jax.Array
@@ -43,19 +50,28 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
     return x, padded
 
 
-@partial(jax.jit, static_argnames=("k", "query_block"))
-def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024):
-    """Inner-product k-NN: (M, D) queries x (N, D) corpus ->
-    (scores (M, k), indices (M, k))."""
+# Matmul precision for similarity math. HIGH = bf16x3 emulated f32 (3 MXU
+# passes vs HIGHEST's 6): tracks HIGHEST to <=2e-5 on unit-norm 256-d
+# embeddings at the 100k production shape while DEFAULT's single bf16 pass
+# injects ~1.6e-3 — too coarse next to the 0.95-0.99 duplicate thresholds.
+# Measured (tools/exp_topk_precision.py, 100k x 256 on v5e): HIGHEST 105.6k,
+# HIGH 115.4k, DEFAULT 117.2k q/s — HIGH buys +9% at zero top-k index
+# disagreement; the search is top_k-bound, not matmul-bound, which is what
+# the certified-approx path below exploits.
+_SIM_PRECISION = jax.lax.Precision.HIGH
+
+
+@partial(jax.jit, static_argnames=("k", "query_block", "precision"))
+def _exact_search(queries: Array, corpus: Array, k: int,
+                  query_block: int = 1024, precision=_SIM_PRECISION):
+    """Single-stage exact k-NN: query-tiled matmul + full-width lax.top_k."""
     m = queries.shape[0]
     corpus = corpus.astype(jnp.float32)
     q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
 
     def block_topk(qb):
-        # HIGHEST: true-f32 matmul. Duplicate thresholds sit at 0.95-0.99;
-        # default (bf16-ish) matmul precision injects ~1e-3 noise there.
-        sims = jnp.dot(qb, corpus.T, precision=jax.lax.Precision.HIGHEST,
+        sims = jnp.dot(qb, corpus.T, precision=precision,
                        preferred_element_type=jnp.float32)
         return jax.lax.top_k(sims, k)
 
@@ -63,18 +79,152 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024):
     return scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m]
 
 
-def topk_cosine(embeddings: Array, k: int, query_block: int = 1024):
+@partial(jax.jit,
+         static_argnames=("k", "query_block", "recall", "thr", "precision"))
+def _certified_search(queries: Array, corpus: Array, k: int,
+                      query_block: int, recall: float,
+                      thr: Optional[float], precision=_SIM_PRECISION):
+    """approx_max_k (TPU PartialReduce) + a per-row exactness certificate
+    computed from the same sims tensor. Returns (scores, idx, ok); rows with
+    ok=False must be repaired by an exact pass (see topk_search).
+
+    Strict certificate (thr=None): with s_k = k-th returned score,
+    count(sims > s_k) == count(returned > s_k) proves the returned score
+    multiset IS the exact top-k — every element strictly above s_k is
+    accounted for and the remainder are ties at s_k (returned scores are
+    actual sims elements, so equality of strictly-above counts implies set
+    equality there).
+
+    Threshold certificate (thr set): proves the returned candidates contain
+    EVERY corpus item with sim >= thr (all that duplicate grouping at
+    threshold thr can ever use, fingerprint.py:515-548), via
+    count(sims >= thr) == count(returned >= thr); rows with k or more
+    above-threshold neighbours additionally require the strict certificate
+    (their candidate list is truncated, so it must be the true top-k).
+    """
+    m = queries.shape[0]
+    corpus = corpus.astype(jnp.float32)
+    q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
+    q_blocks = q.reshape(m_pad // query_block, query_block, -1)
+
+    def block_fn(qb):
+        sims = jnp.dot(qb, corpus.T, precision=precision,
+                       preferred_element_type=jnp.float32)
+        s, i = jax.lax.approx_max_k(sims, k, recall_target=recall)
+        s_k = s[:, k - 1]
+        strict = (jnp.sum(sims > s_k[:, None], axis=1)
+                  == jnp.sum(s > s_k[:, None], axis=1))
+        if thr is None:
+            ok = strict
+        else:
+            n_thr = jnp.sum(sims >= thr, axis=1)
+            ok = (n_thr == jnp.sum(s >= thr, axis=1)) & ((n_thr < k) | strict)
+        return s, i, ok
+
+    scores, idx, ok = jax.lax.map(block_fn, q_blocks)
+    return (scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m],
+            ok.reshape(m_pad)[:m])
+
+
+@partial(jax.jit, static_argnames=("k", "precision"))
+def _exact_rows_fix(queries: Array, corpus: Array, rows: Array, k: int,
+                    precision=_SIM_PRECISION):
+    """Exact top-k for a fixed-size batch of gathered query rows. `rows` may
+    contain out-of-range pad entries (clamped by take; dropped at scatter)."""
+    qb = jnp.take(queries.astype(jnp.float32), rows, axis=0, mode="clip")
+    sims = jnp.dot(qb, corpus.astype(jnp.float32).T, precision=precision,
+                   preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sims, k)
+
+
+@jax.jit
+def _scatter_fix(scores: Array, idx: Array, rows: Array,
+                 fix_s: Array, fix_i: Array):
+    return (scores.at[rows].set(fix_s, mode="drop"),
+            idx.at[rows].set(fix_i, mode="drop"))
+
+
+def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
+                precision=_SIM_PRECISION, method: str = "auto",
+                exact_above: Optional[float] = None,
+                recall_target: Optional[float] = None):
+    """Inner-product k-NN: (M, D) queries x (N, D) corpus ->
+    (scores (M, k), indices (M, k)).
+
+    method:
+      - "exact": single-stage lax.top_k over the full corpus width.
+      - "certified": lax.approx_max_k + per-row exactness certificate; rows
+        failing it are gathered and repaired by fixed-shape exact passes, so
+        the RESULT is exact (strictly: the top-k score multiset per row, or —
+        when `exact_above` is set — candidate-complete above that threshold,
+        which is everything duplicate grouping consumes). Measured at the
+        100k production shape (tools/exp_topk_cert.py /
+        exp_topk_production.py, v5e): the exact search is top_k-bound
+        (matmul+max floor 0.147s vs 0.857s total), approx runs at the floor
+        (0.165s), and the certified end-to-end path holds 211.6k q/s strict
+        / 343.6k q/s thresholded vs 116.7k exact — 1.8x / 2.9x with verified
+        bit-equal (strict) or grouping-complete (thresholded) results.
+      - "auto": "certified" on TPU backends when the corpus is large enough
+        for the sort cost to dominate; "exact" otherwise (CPU approx_max_k
+        is slower than its top_k, measured 22x at n=4k).
+
+    exact_above: duplicate threshold for the relaxed certificate (scanner
+    passes its similarity_threshold). recall_target: approx_max_k target for
+    the first pass; None picks the measured-best per certificate — 0.99
+    strict (0.95 fails the strict cert on 42% of rows; 0.999 makes the
+    approx op itself slower than exact), 0.95 thresholded (its cert almost
+    never fails, so the cheapest first pass wins).
+    """
+    if recall_target is None:
+        recall_target = 0.99 if exact_above is None else 0.95
+    if method == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        method = ("certified"
+                  if on_tpu and corpus.shape[0] >= 16384 and k < corpus.shape[0]
+                  else "exact")
+    if method == "exact":
+        return _exact_search(queries, corpus, k, query_block=query_block,
+                             precision=precision)
+    if method != "certified":
+        raise ValueError(f"unknown top-k method {method!r}")
+
+    scores, idx, ok = _certified_search(
+        queries, corpus, k, query_block, recall_target, exact_above,
+        precision=precision,
+    )
+    bad = np.flatnonzero(~np.asarray(ok))
+    if bad.size:
+        m = queries.shape[0]
+        fix_block = min(query_block, ((bad.size + 127) // 128) * 128)
+        for start in range(0, bad.size, fix_block):
+            chunk = bad[start:start + fix_block]
+            rows = np.full((fix_block,), m, np.int32)  # m = dropped pad
+            rows[: chunk.size] = chunk
+            rows_dev = jnp.asarray(rows)
+            fix_s, fix_i = _exact_rows_fix(queries, corpus, rows_dev, k,
+                                           precision=precision)
+            scores, idx = _scatter_fix(scores, idx, rows_dev, fix_s, fix_i)
+    return scores, idx
+
+
+def topk_cosine(embeddings: Array, k: int, query_block: int = 1024,
+                precision=_SIM_PRECISION, method: str = "auto",
+                exact_above: Optional[float] = None,
+                recall_target: Optional[float] = None):
     """Self-search: (N, D) embeddings -> (scores (N, k), indices (N, k))."""
-    return topk_search(embeddings, embeddings, k, query_block=query_block)
+    return topk_search(embeddings, embeddings, k, query_block=query_block,
+                       precision=precision, method=method,
+                       exact_above=exact_above, recall_target=recall_target)
 
 
 _RING_CACHE: dict = {}
 
 
 def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
-               kk: int, local_k: int, query_block: int):
+               kk: int, local_k: int, query_block: int,
+               precision=jax.lax.Precision.HIGH):
     """Build (or fetch) the compiled ring-top-k program for these shapes."""
-    key = (mesh, axis_name, n_pad, dim, kk, local_k, query_block)
+    key = (mesh, axis_name, n_pad, dim, kk, local_k, query_block, precision)
     if key in _RING_CACHE:
         return _RING_CACHE[key]
 
@@ -99,7 +249,7 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
             def block_fn(qb):
                 sims = jnp.dot(
                     qb, tile.T,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32,
                 )
                 sims = jnp.where(col_valid[None, :], sims, _NEG)
@@ -145,6 +295,7 @@ def sharded_topk_cosine(
     mesh: Optional[Mesh] = None,
     axis_name: str = "corpus",
     query_block: int = 1024,
+    precision=jax.lax.Precision.HIGH,
 ):
     """Ring-sharded top-k over a device mesh (BASELINE config #5).
 
@@ -168,6 +319,7 @@ def sharded_topk_cosine(
 
     local_k = min(k, shard_rows)
     kk = min(k, d * local_k)
-    fn = _ring_topk(mesh, axis_name, n_pad, dim, kk, local_k, query_block)
+    fn = _ring_topk(mesh, axis_name, n_pad, dim, kk, local_k, query_block,
+                    precision)
     scores, idx = fn(corpus, jnp.asarray(n, jnp.int32))
     return scores[:n], idx[:n]
