@@ -17,6 +17,15 @@ Timing discipline (docs/ROUND2_NOTES.md): sync via dependent D2H readback
 tunnel shows transient multi-second stalls unrelated to the workload).
 Reports MFU = achieved FLOP/s / v5e bf16 peak so perf rounds stay
 comparable even when the tunnel is noisy (VERDICT r2 #7).
+
+The headline value is the IN-GRAPH measurement: K forwards inside one
+lax.fori_loop (per-iteration input via dynamic_index so nothing hoists,
+scalar accumulator so every embedding is computed), one dispatch, one
+4-byte readback. tools/exp_ingraph_forward.py measured pipelined dispatch
+16.5% slower than in-graph in the same window (9,373 vs 10,919 v/s) —
+client-side dispatch work on this throttled 1-core host plus tunnel RTT,
+overhead a locally-attached production host does not pay. Pipelined and
+sync regimes are still reported for continuity with rounds 1-2.
 """
 
 import json
@@ -96,9 +105,32 @@ def main():
     # after the measurements, alarm-guarded, so they can never sink the
     # number (see main's tail).
 
+    # In-graph loop: the headline videos/sec/chip measurement (see module
+    # docstring). K forwards per dispatch, scalar readback.
+    from jax import lax
+
+    xs_d = jax.device_put(np.stack(batches), dev)
+
+    def _ingraph(v, xs):
+        def body(i, acc):
+            x = lax.dynamic_index_in_dim(xs, i % N_BATCHES, 0, keepdims=False)
+            emb = fused_model.apply(v, x, B, method="forward_flat")
+            return acc + jnp.sum(emb, dtype=jnp.float32)
+        return lax.fori_loop(0, PIPELINE_DEPTH, body, jnp.float32(0.0))
+
+    f_in = jax.jit(_ingraph)
+    np.asarray(f_in(fused_vars, xs_d))  # compile + warm
+    in_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f_in(fused_vars, xs_d))
+        in_times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
+    in_t = float(np.median(in_times))
+    ingraph_vps = B / in_t
+
     # Pipelined dispatch: batches dispatched back-to-back (XLA async), one
     # blocking readback per window — the production scanner's regime
-    # (scanner.py:_AsyncPipeline) and the headline videos/sec/chip metric.
+    # (scanner.py:_AsyncPipeline); reported for cross-round continuity.
     pipe_times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -119,6 +151,7 @@ def main():
     sync_vps = B / float(np.median(sync_times))
 
     out = {
+        "ingraph_vps": round(ingraph_vps, 3),
         "pipelined_vps": round(pipelined_vps, 3),
         "sync_per_batch_vps": round(sync_vps, 3),
     }
@@ -137,7 +170,7 @@ def main():
         )
     if flops_per_call:
         out["mfu_vs_v5e_bf16_peak"] = round(
-            flops_per_call / pipe_t / V5E_BF16_PEAK_FLOPS, 4
+            flops_per_call / in_t / V5E_BF16_PEAK_FLOPS, 4
         )
         out["tflops_per_batch"] = round(flops_per_call / 1e12, 3)
     print(json.dumps(out), flush=True)
