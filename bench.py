@@ -73,20 +73,37 @@ def _run_leg(cmd, timeout):
     """Run one bench leg; return its last stdout JSON line as a dict or {}."""
     if timeout <= 10:
         return {}
+    stdout = ""
     try:
         out = subprocess.run(
             [sys.executable, *cmd], capture_output=True, text=True,
             timeout=timeout, cwd=REPO, env=_CHILD_ENV,
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
-        tail = out.stderr.strip().splitlines()[-1:]
-        print(f"# leg {cmd[0]} produced no JSON (rc={out.returncode}): {tail}",
-              file=sys.stderr)
+        stdout = out.stdout or ""
+        rc_note = f"rc={out.returncode}"
+        stderr = out.stderr or ""
+    except subprocess.TimeoutExpired as e:
+        # salvage whatever the leg printed before the timeout: legs emit a
+        # partial JSON line after each measurement stage, so a stall in a
+        # later stage (e.g. a compile in a degraded tunnel window) still
+        # yields a number.
+        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        rc_note = f"timeout after {timeout:.0f}s"
+        stderr = ""
     except Exception as e:  # noqa: BLE001 - never sink the headline
         print(f"# leg {cmd[0]} failed: {e}", file=sys.stderr)
+        return {}
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue  # line truncated mid-write at the timeout
+    tail = stderr.strip().splitlines()[-1:]
+    print(f"# leg {cmd[0]} produced no JSON ({rc_note}): {tail}",
+          file=sys.stderr)
     return {}
 
 

@@ -105,6 +105,27 @@ def main():
     # after the measurements, alarm-guarded, so they can never sink the
     # number (see main's tail).
 
+    # A cumulative partial JSON line is printed after each stage: the
+    # orchestrator parses the LAST line and salvages stdout on a leg
+    # timeout, so a stall in a later stage (compile in a degraded tunnel
+    # window) still leaves a number of record on stdout.
+    out = {}
+
+    # Pipelined dispatch first (its program is already warm): batches
+    # dispatched back-to-back (XLA async), one blocking readback per window
+    # — the production scanner's regime (scanner.py:_AsyncPipeline);
+    # reported for cross-round continuity and as the fallback headline.
+    pipe_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fwd(fused_vars, staged[i % N_BATCHES]) for i in range(PIPELINE_DEPTH)]
+        for o in outs:
+            np.asarray(o)
+        pipe_times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
+    pipe_t = float(np.median(pipe_times))
+    out["pipelined_vps"] = round(B / pipe_t, 3)
+    print(json.dumps(out), flush=True)
+
     # In-graph loop: the headline videos/sec/chip measurement (see module
     # docstring). K forwards per dispatch, scalar readback.
     from jax import lax
@@ -126,20 +147,8 @@ def main():
         np.asarray(f_in(fused_vars, xs_d))
         in_times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
     in_t = float(np.median(in_times))
-    ingraph_vps = B / in_t
-
-    # Pipelined dispatch: batches dispatched back-to-back (XLA async), one
-    # blocking readback per window — the production scanner's regime
-    # (scanner.py:_AsyncPipeline); reported for cross-round continuity.
-    pipe_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fwd(fused_vars, staged[i % N_BATCHES]) for i in range(PIPELINE_DEPTH)]
-        for o in outs:
-            np.asarray(o)
-        pipe_times.append((time.perf_counter() - t0) / PIPELINE_DEPTH)
-    pipe_t = float(np.median(pipe_times))
-    pipelined_vps = B / pipe_t
+    out["ingraph_vps"] = round(B / in_t, 3)
+    print(json.dumps(out), flush=True)
 
     # Sync dispatch: one readback per batch; on this dev box that pays a
     # ~30ms tunnel RTT per batch a locally-attached chip would not see.
@@ -148,13 +157,7 @@ def main():
         t0 = time.perf_counter()
         np.asarray(fwd(fused_vars, x))
         sync_times.append(time.perf_counter() - t0)
-    sync_vps = B / float(np.median(sync_times))
-
-    out = {
-        "ingraph_vps": round(ingraph_vps, 3),
-        "pipelined_vps": round(pipelined_vps, 3),
-        "sync_per_batch_vps": round(sync_vps, 3),
-    }
+    out["sync_per_batch_vps"] = round(B / float(np.median(sync_times)), 3)
 
     # Streaming (per-batch 805MB uint8 H2D through the ~35 MB/s relay)
     # measures the tunnel, not the hardware, and costs 1-3 minutes of the
