@@ -24,10 +24,15 @@ is a few elementwise passes plus 14 shifted adds (separable blur) and one
 bilinear gather (rotation) — noise next to the model's conv stack, and XLA
 fuses most of it into neighbouring ops. Deliberate divergences from the host
 path, documented here once: no intermediate uint8 quantization (values stay
-f32) and hue rotates in a pure-jnp HSV round trip (cv2 quantizes H to uint8
-steps). Blur uses cv2's own fixed small-gaussian taps with reflect-101
-borders, so it matches the host path to f32 rounding. Distribution and
-transform parity are gated by tests/test_device_augment.py.
+f32); hue rotates in a pure-jnp HSV round trip (cv2 quantizes H to uint8
+steps); and JPEG recompression moves from mid-pipeline (reference
+dataset.py:313-319, after noise) to FIRST (the loader compresses the raw
+resized frames before staging), so it acts on un-jittered pixels — the
+augmentation strength is statistically equivalent and the training
+trajectory matches the host pipeline epoch-for-epoch (docs/ROUND3_NOTES.md).
+Blur uses cv2's own fixed small-gaussian taps with reflect-101 borders, so
+it matches the host path to f32 rounding. Distribution and transform parity
+are gated by tests/test_device_augment.py.
 """
 
 from __future__ import annotations
