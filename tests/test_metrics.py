@@ -133,6 +133,52 @@ def test_streaming_metrics_duplicate_heavy():
     assert s["R@5"] == pytest.approx(float(r["R@5"]), abs=1e-6)
 
 
+def test_streaming_map_count_path_equals_argsort_path(data):
+    """The count-based mAP (no (b, N) sort; positions via masked comparison
+    counts) must match the argsort fallback bit-for-bit on the same corpus —
+    including the stable-sort tie rule (ties break by ascending column)."""
+    from video_fingerprint_tpu.ops import metrics as M
+
+    e, ids = data
+    # duplicate rows to force score ties across different columns
+    e = np.concatenate([e, e[:10]])
+    ids = np.concatenate([ids, ids[:10]])
+    s_count = M.streaming_validation_metrics(e, ids, block_rows=13)
+
+    orig = M._metrics_block
+
+    def force_argsort(*args, **kwargs):
+        kwargs.pop("pmax", None)
+        return orig(*args[:9], pmax=0, **kwargs)
+
+    M._metrics_block = force_argsort
+    try:
+        s_sort = M.streaming_validation_metrics(e, ids, block_rows=13)
+    finally:
+        M._metrics_block = orig
+    assert s_count["mAP"] == pytest.approx(s_sort["mAP"], abs=1e-6)
+    for key in ("R@1", "R@5", "auc_roc", "separation_gap"):
+        assert s_count[key] == pytest.approx(s_sort[key], abs=1e-6), key
+
+
+def test_streaming_metrics_huge_group_falls_back():
+    """A corpus with one group larger than the count-path bound (256) must
+    still produce exact metrics via the argsort fallback."""
+    from video_fingerprint_tpu.ops.metrics import (
+        retrieval_metrics,
+        streaming_validation_metrics,
+    )
+
+    rng = np.random.default_rng(3)
+    e = rng.normal(size=(300, 8)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    ids = np.concatenate([np.zeros(260), np.arange(1, 41)]).astype(np.int32)
+    s = streaming_validation_metrics(e, ids, block_rows=64)
+    r = retrieval_metrics(e, ids)
+    assert s["mAP"] == pytest.approx(float(r["mAP"]), abs=2e-5)
+    assert s["R@10"] == pytest.approx(float(r["R@10"]), abs=1e-6)
+
+
 def test_auc_degenerate_single_class():
     from video_fingerprint_tpu.ops.metrics import discrimination_metrics
 

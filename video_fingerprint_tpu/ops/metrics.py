@@ -110,17 +110,18 @@ def discrimination_metrics(
     return metrics
 
 
-@partial(jax.jit, static_argnames=("thresholds", "kmax"))
+@partial(jax.jit, static_argnames=("thresholds", "kmax", "pmax"))
 def _metrics_block(
     emb_block: Array,       # (b, D) this block's rows
     ids_block: Array,       # (b,)
     row_valid: Array,       # (b,) bool — False for wraparound pad rows
     embeddings: Array,      # (N, D) full corpus
     video_ids: Array,       # (N,)
-    sorted_intra: Array,    # (P,) ascending intra-pair sims, -inf padded
+    sorted_intra,           # _count_tables(...) of the ascending intra sims
     row_offset: Array,      # scalar: global index of this block's first row
     thresholds,
     kmax: int,
+    pmax: int = 0,          # max positives/row (incl. self); 0 = argsort mAP
 ) -> Dict[str, Array]:
     """One row block of the streaming metrics: every pairwise statistic this
     block's rows contribute, with O(b*N) memory."""
@@ -161,27 +162,121 @@ def _metrics_block(
         out[f"rhits@{k}"] = jnp.sum(
             jnp.any(top_same[:, :k], axis=1).astype(jnp.float32) * rv
         )
-    order = jnp.argsort(-sims_noself, axis=1)
-    pos_sorted = jnp.take_along_axis(same, order, axis=1).astype(jnp.float32)
-    ranks = jnp.arange(1, n + 1, dtype=jnp.float32)[None, :]
-    cum_pos = jnp.cumsum(pos_sorted, axis=1)
-    row_pos = jnp.sum(pos_sorted, axis=1)
-    ap = jnp.sum((cum_pos / ranks) * pos_sorted, axis=1) / jnp.maximum(row_pos, 1.0)
+    row_pos = jnp.sum(same.astype(jnp.float32), axis=1)
+    if pmax == 0:
+        # full argsort mAP — exact for ANY group structure, but a TPU sort
+        # over (b, N) costs ~seconds per block at N=100k. Kept as the
+        # fallback for pathological corpora (a group spanning >pmax rows).
+        order = jnp.argsort(-sims_noself, axis=1)
+        pos_sorted = jnp.take_along_axis(same, order, axis=1).astype(jnp.float32)
+        ranks = jnp.arange(1, n + 1, dtype=jnp.float32)[None, :]
+        cum_pos = jnp.cumsum(pos_sorted, axis=1)
+        ap = (jnp.sum((cum_pos / ranks) * pos_sorted, axis=1)
+              / jnp.maximum(row_pos, 1.0))
+    else:
+        # count-based mAP: positives are sparse (<= pmax per row), and a
+        # positive's rank in the stable descending sort is a pair of masked
+        # reductions — no (b, N) sort at all. Position of column j in
+        # jnp.argsort(-sims_noself) (stable => ties break by ascending
+        # column index): count(s > s_j) + count(s == s_j & col < j).
+        pos_val, pos_idx = jax.lax.top_k(same.astype(jnp.float32), pmax)
+        p_valid = pos_val > 0.5                      # (b, pmax) real positive?
+        s_pos = jnp.take_along_axis(sims_noself, pos_idx, axis=1)
+        gt = jnp.sum(sims_noself[:, None, :] > s_pos[:, :, None], axis=-1)
+        eq_lo = jnp.sum(
+            (sims_noself[:, None, :] == s_pos[:, :, None])
+            & (cols[:, None, :] < pos_idx[:, :, None]),
+            axis=-1,
+        )
+        position = gt + eq_lo                        # (b, pmax) 0-based
+        # precision at j's rank = #positives ranked at or above j / rank_j
+        at_or_above = jnp.sum(
+            p_valid[:, None, :] & (position[:, :, None] >= position[:, None, :]),
+            axis=-1,
+        )
+        terms = jnp.where(
+            p_valid, at_or_above / (position + 1.0).astype(jnp.float32), 0.0
+        )
+        ap = jnp.sum(terms, axis=1) / jnp.maximum(row_pos, 1.0)
     out["ap_sum"] = jnp.sum(ap * rv)
     out["n_rows"] = jnp.sum(rv)
 
     # AUC rank-sum: for every inter sim v of this block, count intra sims
-    # above/equal via searchsorted into the presorted intra values. Masked
-    # entries sit at +inf (above every real value -> zero contribution);
-    # -inf intra pads are <= every finite v, cancelling in (P - right).
-    v = jnp.where(inter > 0, sims, jnp.inf).reshape(-1)
-    right = jnp.searchsorted(sorted_intra, v, side="right")
-    left = jnp.searchsorted(sorted_intra, v, side="left")
-    P = sorted_intra.shape[0]
+    # strictly above (P - count_le) and tied (count_le - count_lt) against
+    # the presorted intra values. NOT jnp.searchsorted: its binary search is
+    # ~19 dependent single-float gathers per key, measured 1.38 s/block at
+    # (256, 20k) on v5e — the "no tiny gathers" rule again. _sorted_count
+    # replaces it with broadcast compares + two WIDE contiguous row gathers.
+    seg_rows, pivot_rows, supers, p_true = sorted_intra
+    v = sims.reshape(-1)
+    mask = inter.reshape(-1)
+    # chunk the keys: the row gathers materialize (chunk, 128) intermediates,
+    # which at a 100k corpus block (25.6M keys) would otherwise be ~13 GB.
+    ch = min(131072, v.shape[0])
+    pad = (-v.shape[0]) % ch
+    v = jnp.pad(v, (0, pad))
+    mask = jnp.pad(mask, (0, pad))
+
+    def _chunk(args):
+        vv, mm = args
+        cle = _sorted_count(seg_rows, pivot_rows, supers, vv, strict=False)
+        clt = _sorted_count(seg_rows, pivot_rows, supers, vv, strict=True)
+        return jnp.sum(
+            ((p_true - cle).astype(jnp.float32)
+             + 0.5 * (cle - clt).astype(jnp.float32)) * mm
+        )
+
     out["auc_num"] = jnp.sum(
-        (P - right).astype(jnp.float32) + 0.5 * (right - left).astype(jnp.float32)
+        jax.lax.map(_chunk, (v.reshape(-1, ch), mask.reshape(-1, ch)))
     )
     return out
+
+
+def _sorted_count(seg_rows: Array, pivot_rows: Array, supers: Array,
+                  v: Array, strict: bool) -> Array:
+    """count(vals <= v) (or < v when strict) per key against a sorted array,
+    gather-free in the pathological sense: data-dependent indexing happens
+    only as TWO contiguous row gathers (fan- and seg-wide — full VPU lanes),
+    never as a per-key binary search.
+
+    Tables (built by _count_tables): the sorted values padded with +inf and
+    reshaped to (K1, seg) `seg_rows`; their per-segment minima padded and
+    reshaped to (K0, fan) `pivot_rows`; those rows' minima `supers` (K0,).
+    Correctness: with c1 = count(pivots cmp v), every element before segment
+    c1-1 is <= its pivot (cmp v), every element from segment c1 on is >= the
+    first non-matching pivot (not cmp v), so only segment c1-1 needs exact
+    compares. +inf padding never satisfies cmp for finite v; keys at +inf
+    return padded counts and must be masked by the caller."""
+    cmp = (lambda t, x: t < x) if strict else (lambda t, x: t <= x)
+    k0, fan = pivot_rows.shape
+    k1, seg = seg_rows.shape
+
+    c0 = jnp.sum(cmp(supers[None, :], v[:, None]), axis=1)
+    j0 = jnp.clip(c0 - 1, 0, k0 - 1)
+    rows0 = jnp.take(pivot_rows, j0, axis=0)              # (m, fan)
+    c1 = jnp.where(c0 == 0, 0,
+                   j0 * fan + jnp.sum(cmp(rows0, v[:, None]), axis=1))
+    j1 = jnp.clip(c1 - 1, 0, k1 - 1)
+    rows1 = jnp.take(seg_rows, j1, axis=0)                # (m, seg)
+    cseg = jnp.sum(cmp(rows1, v[:, None]), axis=1)
+    return jnp.where(c1 == 0, 0, (c1 - 1) * seg + cseg)
+
+
+def _count_tables(sorted_vals: np.ndarray, seg: int = 128, fan: int = 128):
+    """Device tables for _sorted_count. Shapes are padded to powers of two
+    so different corpus sizes reuse compiled programs."""
+    p = sorted_vals.shape[0]
+    k1 = max(1, int(2 ** np.ceil(np.log2(max(1, -(-p // seg))))))
+    padded = np.full((k1 * seg,), np.inf, np.float32)
+    padded[:p] = sorted_vals
+    seg_rows = padded.reshape(k1, seg)
+    k0 = max(1, -(-k1 // fan))
+    pivots = np.full((k0 * fan,), np.inf, np.float32)
+    pivots[:k1] = seg_rows[:, 0]
+    pivot_rows = pivots.reshape(k0, fan)
+    supers = pivot_rows[:, 0].copy()
+    return (jnp.asarray(seg_rows), jnp.asarray(pivot_rows),
+            jnp.asarray(supers), p)
 
 
 def _intra_pair_sims(embeddings: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -220,17 +315,33 @@ def streaming_validation_metrics(
     rows per block, moments/confusions are blocked sums, and AUC is the same
     tie-corrected Mann-Whitney statistic via rank-sums of inter sims against
     the sorted intra sims (positives are sparse: ~pair-count per video).
-    Returns plain floats. One XLA program total (pad rows -> fixed block)."""
+    Returns plain floats. One XLA program total (pad rows -> fixed block).
+
+    mAP path selection: a positive's rank only needs masked comparison
+    counts, not a sort (see _metrics_block pmax) — a (b, N) TPU argsort
+    costs ~seconds per block at N=100k, turning the 100k validation into
+    many minutes; the count-based path is exact for groups up to 256 rows
+    (pmax, static per compile) and falls back to the argsort for corpora
+    with a larger group."""
     embeddings = np.asarray(embeddings, np.float32)
     ids = np.asarray(video_ids)
     n = embeddings.shape[0]
     b = min(block_rows, n)
-    sorted_intra = jnp.asarray(_intra_pair_sims(embeddings, ids))
+    sorted_intra = _count_tables(_intra_pair_sims(embeddings, ids))
     kmax = min(max(k_values), n - 1)
+    # positives per row (incl. self) = the row's group size; pad to a bucket
+    # so pmax doesn't recompile per corpus
+    group_max = int(np.bincount(ids.astype(np.int64)).max()) if n else 1
+    pmax = 0 if group_max > 256 else int(
+        2 ** int(np.ceil(np.log2(max(group_max, 4))))
+    )
 
     emb_dev = jnp.asarray(embeddings)
     ids_dev = jnp.asarray(ids)
-    acc: Dict[str, float] = {}
+    # accumulate ON DEVICE: one readback per key at the end, not per block
+    # (each tiny D2H through the dev tunnel costs ~15 ms; 30 keys x N/b
+    # blocks was minutes of pure sync at N=100k).
+    acc_dev: Dict[str, Array] = {}
     for start in range(0, n, b):
         rows = np.arange(start, start + b)
         valid = rows < n
@@ -238,10 +349,11 @@ def streaming_validation_metrics(
         out = _metrics_block(
             emb_dev[rows], ids_dev[rows], jnp.asarray(valid),
             emb_dev, ids_dev, sorted_intra, jnp.asarray(start),
-            tuple(thresholds), kmax,
+            tuple(thresholds), kmax, pmax,
         )
         for key, val in out.items():
-            acc[key] = acc.get(key, 0.0) + float(val)
+            acc_dev[key] = acc_dev.get(key, 0.0) + val
+    acc = {k: float(v) for k, v in jax.device_get(acc_dev).items()}
 
     n_intra, n_inter = acc["n_intra"], acc["n_inter"]
 
