@@ -95,6 +95,58 @@ def test_sharded_topk_matches_oracle(embeddings):
     np.testing.assert_allclose(chosen, o_scores, atol=1e-5)
 
 
+def test_sharded_topk_search_matches_oracle(embeddings):
+    """Corpus-sharded query-vs-corpus search (the --against workload):
+    queries != corpus, exactness vs the numpy oracle on the 8-dev mesh."""
+    from video_fingerprint_tpu.ops.topk import sharded_topk_search
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(45, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    k = 20
+    scores, idx = sharded_topk_search(q, embeddings, k,
+                                      mesh=make_mesh("corpus"))
+    sims = q @ embeddings.T
+    o_idx = np.argsort(-sims, axis=1)[:, :k]
+    o_scores = np.take_along_axis(sims, o_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
+    chosen = np.take_along_axis(sims, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(chosen, o_scores, atol=1e-5)
+
+
+def test_sharded_topk_search_small_and_k_past_shard():
+    """n < devices*8 (heavy padding) and k > per-shard rows."""
+    from video_fingerprint_tpu.ops.topk import sharded_topk_search
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    c = rng.normal(size=(13, 16)).astype(np.float32)
+    scores, idx = sharded_topk_search(q, c, k=9, mesh=make_mesh("corpus"))
+    sims = q @ c.T
+    o_idx = np.argsort(-sims, axis=1)[:, :9]
+    o_scores = np.take_along_axis(sims, o_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
+
+
+def test_index_search_sharded_path_matches_single(embeddings):
+    """FingerprintIndex.search auto-shards on multi-device platforms; the
+    result must equal the single-device exact search."""
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    index = FingerprintIndex(dim=64)
+    index.add(embeddings)  # 333 rows >= 8*8 -> sharded path on the CPU mesh
+    q = embeddings[:17]
+    s_sharded, i_sharded = index.search(q, k=10)
+    sims = q @ embeddings.T
+    o_idx = np.argsort(-sims, axis=1)[:, :10]
+    o_scores = np.take_along_axis(sims, o_idx, axis=1)
+    np.testing.assert_allclose(s_sharded, o_scores, atol=1e-5)
+    chosen = np.take_along_axis(sims, i_sharded, axis=1)
+    np.testing.assert_allclose(chosen, o_scores, atol=1e-5)
+
+
 def test_sharded_topk_small_corpus():
     """k > shard size and n < devices*block still work."""
     from video_fingerprint_tpu.ops.topk import sharded_topk_cosine

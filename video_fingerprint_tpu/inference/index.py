@@ -150,14 +150,29 @@ class FingerprintIndex:
         `exact_above`: when the caller only consumes candidates at or above a
         similarity threshold (duplicate grouping), passing it here lets the
         certified-approx top-k use its cheaper threshold certificate
-        (ops/topk.py) — results are still exhaustive above the threshold."""
+        (ops/topk.py) — results are still exhaustive above the threshold.
+
+        On a multi-device platform with a large corpus the search runs
+        corpus-sharded (ops/topk.py::sharded_topk_search, exact, per-device
+        memory O(N/d·D)) — same condition as the scanner's self-search."""
         import jax
         import jax.numpy as jnp
 
-        from video_fingerprint_tpu.ops.topk import topk_search
+        from video_fingerprint_tpu.ops.topk import (
+            sharded_topk_search,
+            topk_search,
+        )
 
+        n = len(self)
+        k = min(k, n)
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n >= 8 * n_dev:
+            scores, idx = sharded_topk_search(
+                jnp.asarray(np.ascontiguousarray(queries, np.float32)),
+                jnp.asarray(self._flat_embeddings()), k,
+            )
+            return np.asarray(scores), np.asarray(idx)
         corpus = self._corpus()
-        k = min(k, corpus.shape[0])
         q = jax.device_put(jnp.asarray(np.ascontiguousarray(queries, np.float32)),
                            self.device)
         scores, idx = topk_search(q, corpus, k, exact_above=exact_above)

@@ -13,6 +13,9 @@ The reference searches duplicates with either a full `np.dot` all-pairs matrix
     fail it, so results keep exact semantics at approx speed (measured 5.4x
     the full-sort rate at 100k x 256; tools/exp_topk_blocked.py /
     exp_topk_cert.py).
+  - `sharded_topk_search`: corpus-sharded query-vs-corpus k-NN (queries
+    replicated, shards searched locally, candidates all-gathered and
+    merged) — the `--against` workload at corpora past one chip's HBM.
   - `sharded_topk_cosine`: corpus- AND query-sharded over a 1-D mesh via a
     shard_map ring. Each chip holds an (N/d, D) shard that serves as both its
     query rows and a corpus tile; corpus tiles rotate around the ring via
@@ -323,3 +326,84 @@ def sharded_topk_cosine(
                     precision)
     scores, idx = fn(corpus, jnp.asarray(n, jnp.int32))
     return scores[:n], idx[:n]
+
+
+_SHARDED_SEARCH_CACHE: dict = {}
+
+
+def sharded_topk_search(
+    queries: Array,
+    corpus: Array,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "corpus",
+    query_block: int = 1024,
+    precision=jax.lax.Precision.HIGH,
+):
+    """Corpus-sharded query-vs-corpus k-NN (the `--against` /
+    `FingerprintIndex.search` workload past one chip's HBM; complements
+    `sharded_topk_cosine`, which handles the self-search dedup case).
+
+    The (N, D) corpus shards over the mesh axis; the (M, D) queries
+    replicate. Each device computes its query-tiled local top-k with GLOBAL
+    column ids (shard offset from `axis_index`), the per-device candidate
+    lists concatenate along the sharded output axis — an all-gather of
+    O(M·k_local·d) scores+ids, never the corpus — and one final `lax.top_k`
+    merges. Per-device memory O(N/d·D + M·k); exact (single-stage
+    `lax.top_k` per shard). Returns (scores (M, k), indices (M, k)) in
+    corpus coordinates, identical to `topk_search(method="exact")`.
+    Reference workload: fingerprint.py:515-548 (FAISS query path).
+    """
+    if mesh is None:
+        from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_name)
+    d = mesh.shape[axis_name]
+    n, dim = corpus.shape
+    m = queries.shape[0]
+    per_shard = (n + d - 1) // d
+    corpus_pad, n_pad = _pad_rows(corpus.astype(jnp.float32),
+                                  d * max(8, ((per_shard + 7) // 8) * 8))
+    shard_rows = n_pad // d
+    q_block = min(query_block, ((m + 7) // 8) * 8)
+    q_pad, m_pad = _pad_rows(queries.astype(jnp.float32), q_block)
+    local_k = min(k, shard_rows)
+
+    key = (mesh, axis_name, m_pad, n_pad, dim, k, local_k, q_block, precision)
+    fn = _SHARDED_SEARCH_CACHE.get(key)
+    if fn is None:
+        def local_fn(q, shard, n_valid):
+            my = jax.lax.axis_index(axis_name)
+            offset = my * shard_rows
+            col_idx = offset + jnp.arange(shard_rows, dtype=jnp.int32)
+            col_valid = col_idx < n_valid
+            q_blocks = q.reshape(m_pad // q_block, q_block, dim)
+
+            def block_fn(qb):
+                sims = jnp.dot(qb, shard.T, precision=precision,
+                               preferred_element_type=jnp.float32)
+                sims = jnp.where(col_valid[None, :], sims, _NEG)
+                s, j = jax.lax.top_k(sims, local_k)
+                return s, col_idx[j]
+
+            s, i = jax.lax.map(block_fn, q_blocks)
+            return s.reshape(m_pad, local_k), i.reshape(m_pad, local_k)
+
+        from jax import shard_map
+
+        inner = jax.jit(shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name, None), P()),
+            out_specs=(P(None, axis_name), P(None, axis_name)),
+            check_vma=False,
+        ))
+
+        def fn(q, c, n_valid):
+            s_all, i_all = inner(q, c, n_valid)  # (m_pad, d*local_k)
+            s_top, pos = jax.lax.top_k(s_all, min(k, d * local_k))
+            return s_top, jnp.take_along_axis(i_all, pos, axis=1)
+
+        _SHARDED_SEARCH_CACHE[key] = fn
+    scores, idx = fn(q_pad, corpus_pad, jnp.asarray(n, jnp.int32))
+    return scores[:m], idx[:m]
