@@ -273,6 +273,20 @@ def test_index_merge_and_query_against_cli(ckpt_path, corpus, tmp_path, capsys):
     assert by_path[str(src)]["similarity"] == pytest.approx(1.0, abs=1e-5)
     assert "DUPLICATE REPORT" in capsys.readouterr().out
 
+    # deleting a file and rescanning its library prunes the stale entry
+    # (which would otherwise match in --against runs forever) while library
+    # A's entries — files still on disk — survive.
+    (lib_b / "reupload.mp4").unlink()
+    new_file = lib_b / "fresh.mp4"
+    shutil.copy(sorted(d.glob("video_1.mp4"))[0], new_file)
+    rc = main(["--model", ckpt_path, "--scan", str(lib_b), "--device", "cpu",
+               "--workers", "2", "--batch", "4", "--index", str(idx)])
+    assert rc == 0
+    pruned = FingerprintIndex.load(idx).fingerprints()
+    assert str(lib_b / "reupload.mp4") not in pruned
+    assert str(new_file) in pruned
+    assert len(pruned) == 7  # 6 from A (still on disk) + fresh.mp4
+
 
 def test_query_against_rejects_foreign_index(scanner, corpus, tmp_path):
     """--against with an index from a different model must fail loudly."""

@@ -144,7 +144,17 @@ def main(argv=None) -> int:
 
         # merge the prior cache so entries for files outside this scan
         # survive (shared index across libraries); rescans win on conflict.
-        save_cache(args.index, {**(cache or {}), **fingerprints},
+        # Prior entries whose file no longer exists on disk are pruned —
+        # a deleted video's stale path would otherwise keep matching in
+        # future --against / grouping runs forever.
+        kept_prior = {
+            p: fp for p, fp in (cache or {}).items()
+            if p in fingerprints or Path(p).exists()
+        }
+        pruned = len(cache or {}) - len(kept_prior)
+        if pruned:
+            print(f"Pruned {pruned} index entries for deleted files")
+        save_cache(args.index, {**kept_prior, **fingerprints},
                    model_identity=scanner.model_identity)
         print(f"Scan index saved to {args.index}")
 
