@@ -57,6 +57,49 @@ def test_train_step_updates(model_type):
     assert diff > 0
 
 
+def test_train_step_device_augment_bf16():
+    """--device_augment composes with --bf16: augmentation runs in f32 on the
+    normalized clips, the model computes in bfloat16 — one finite fused step
+    with moving params (the combination has no dedicated trajectory run, so
+    pin it here)."""
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.optim import make_optimizer
+    from video_fingerprint_tpu.training.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    B, T, hw = 2, 8, 32
+    model = create_model("attention", dtype=jnp.bfloat16)
+    state = init_train_state(model, None, jax.random.PRNGKey(0),
+                             (1, T, hw, hw, 3))
+    tx = make_optimizer("attention", state.params, learning_rate=1e-3,
+                        total_steps=100, epochs=2, steps_per_epoch=10)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = jax.jit(make_train_step(model, tx, "attention",
+                                   device_augment=True))
+    batch = {
+        # uint8 clips like the device-augment loader ships them
+        "clip1": jax.random.randint(jax.random.PRNGKey(1),
+                                    (B, T, hw, hw, 3), 0, 256, jnp.uint8),
+        "clip2": jax.random.randint(jax.random.PRNGKey(2),
+                                    (B, T, hw, hw, 3), 0, 256, jnp.uint8),
+        "video_id": jnp.arange(B),
+        "mask1": jnp.ones((B, T), bool),
+        "mask2": jnp.ones((B, T), bool),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    new_state2, metrics2 = step(new_state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics2["loss"]))
+    diff = jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(lambda a, b: float(jnp.abs(a - b).sum()),
+                     state.params, new_state2.params),
+    )
+    assert diff > 0
+
+
 @pytest.mark.slow
 def test_train_step_data_parallel_matches_single():
     """DP-sharded step over the 8-device mesh: runs, and grads/params equal
