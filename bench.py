@@ -87,10 +87,12 @@ def _run_leg(cmd, timeout):
         # partial JSON line after each measurement stage, so a stall in a
         # later stage (e.g. a compile in a degraded tunnel window) still
         # yields a number.
-        stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-            else (e.stdout or "")
+        def _text(x):
+            return (x or b"").decode() if isinstance(x, bytes) else (x or "")
+
+        stdout = _text(e.stdout)
+        stderr = _text(e.stderr)
         rc_note = f"timeout after {timeout:.0f}s"
-        stderr = ""
     except Exception as e:  # noqa: BLE001 - never sink the headline
         print(f"# leg {cmd[0]} failed: {e}", file=sys.stderr)
         return {}

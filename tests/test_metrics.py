@@ -179,6 +179,20 @@ def test_streaming_metrics_huge_group_falls_back():
     assert s["R@10"] == pytest.approx(float(r["R@10"]), abs=1e-6)
 
 
+def test_streaming_metrics_small_corpus_one_group():
+    """Regression: pmax's power-of-two bucket must clamp to n — a corpus of
+    17 rows sharing one id bucketed pmax to 32 > n and crashed lax.top_k."""
+    from video_fingerprint_tpu.ops.metrics import streaming_validation_metrics
+
+    rng = np.random.default_rng(5)
+    e = rng.normal(size=(17, 8)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    ids = np.zeros(17, np.int32)
+    m = streaming_validation_metrics(e, ids, block_rows=7)
+    assert m["auc_roc"] == 0.5  # no inter pairs -> reference fallback
+    assert m["mAP"] > 0.0
+
+
 def test_auc_degenerate_single_class():
     from video_fingerprint_tpu.ops.metrics import discrimination_metrics
 

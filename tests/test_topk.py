@@ -130,6 +130,27 @@ def test_sharded_topk_search_small_and_k_past_shard():
     np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
 
 
+def test_sharded_topk_search_zero_queries(embeddings):
+    """m=0 must return empty results like the single-device path, and the
+    staged-corpus tuple must be reusable across searches."""
+    from video_fingerprint_tpu.ops.topk import (
+        sharded_topk_search,
+        stage_sharded_corpus,
+    )
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("corpus")
+    s, i = sharded_topk_search(np.zeros((0, 64), np.float32), embeddings, 5,
+                               mesh=mesh)
+    assert s.shape == (0, 5) and i.shape == (0, 5)
+    staged = stage_sharded_corpus(embeddings, mesh)
+    q = embeddings[:9]
+    s1, i1 = sharded_topk_search(q, staged, 5, mesh=mesh)
+    s2, i2 = sharded_topk_search(q, embeddings, 5, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_index_search_sharded_path_matches_single(embeddings):
     """FingerprintIndex.search auto-shards on multi-device platforms; the
     result must equal the single-device exact search."""

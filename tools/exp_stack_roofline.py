@@ -129,7 +129,6 @@ def main():
     leg("full_forward_ms", looped_full())
 
     # rooflines (per in-graph iteration, this N)
-    sizes_bf16 = [N * HW * HW * 3]  # u8 input counted at 1 byte below
     dims = [(32, 32, 32), (16, 16, 64), (8, 8, 128), (4, 4, 256)]
     traffic = N * HW * HW * 3 * 1  # u8 read
     flops = 0.0

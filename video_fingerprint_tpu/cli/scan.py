@@ -146,10 +146,14 @@ def main(argv=None) -> int:
         # survive (shared index across libraries); rescans win on conflict.
         # Prior entries whose file no longer exists on disk are pruned —
         # a deleted video's stale path would otherwise keep matching in
-        # future --against / grouping runs forever.
+        # future --against / grouping runs forever. Only ABSOLUTE paths are
+        # pruned: a relative key from a scan run in another cwd (or a file
+        # on a temporarily unmounted drive at an absolute path we cannot
+        # distinguish — accepted residual risk) must not be destroyed just
+        # because it is invisible from here.
         kept_prior = {
             p: fp for p, fp in (cache or {}).items()
-            if p in fingerprints or Path(p).exists()
+            if p in fingerprints or not Path(p).is_absolute() or Path(p).exists()
         }
         pruned = len(cache or {}) - len(kept_prior)
         if pruned:

@@ -56,6 +56,7 @@ class FingerprintIndex:
         self._chunks: list[np.ndarray] = []
         self._meta: List[dict] = []
         self._staged = None  # device-resident (N, dim) corpus
+        self._staged_sharded = None  # (row-sharded device corpus, n) tuple
         self._dirty = False
 
     def __len__(self) -> int:
@@ -154,12 +155,15 @@ class FingerprintIndex:
 
         On a multi-device platform with a large corpus the search runs
         corpus-sharded (ops/topk.py::sharded_topk_search, exact, per-device
-        memory O(N/d·D)) — same condition as the scanner's self-search."""
+        memory O(N/d·D)) — same condition as the scanner's self-search. The
+        row-sharded staged corpus is cached like the single-device one, so
+        repeated queries against a static corpus upload it once."""
         import jax
         import jax.numpy as jnp
 
         from video_fingerprint_tpu.ops.topk import (
             sharded_topk_search,
+            stage_sharded_corpus,
             topk_search,
         )
 
@@ -167,9 +171,18 @@ class FingerprintIndex:
         k = min(k, n)
         n_dev = len(jax.devices())
         if n_dev > 1 and n >= 8 * n_dev:
+            if self._staged_sharded is None or self._dirty:
+                from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+                self._staged_sharded = stage_sharded_corpus(
+                    self._flat_embeddings(), make_mesh("corpus")
+                )
+                # _dirty is shared with _corpus(): drop its stale cache too
+                self._staged = None
+                self._dirty = False
             scores, idx = sharded_topk_search(
-                jnp.asarray(np.ascontiguousarray(queries, np.float32)),
-                jnp.asarray(self._flat_embeddings()), k,
+                np.ascontiguousarray(queries, np.float32),
+                self._staged_sharded, k,
             )
             return np.asarray(scores), np.asarray(idx)
         corpus = self._corpus()

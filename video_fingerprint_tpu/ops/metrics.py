@@ -326,34 +326,41 @@ def streaming_validation_metrics(
     embeddings = np.asarray(embeddings, np.float32)
     ids = np.asarray(video_ids)
     n = embeddings.shape[0]
+    if n == 0:
+        raise ValueError("streaming_validation_metrics needs >= 1 embedding")
     b = min(block_rows, n)
     sorted_intra = _count_tables(_intra_pair_sims(embeddings, ids))
     kmax = min(max(k_values), n - 1)
     # positives per row (incl. self) = the row's group size; pad to a bucket
     # so pmax doesn't recompile per corpus
     group_max = int(np.bincount(ids.astype(np.int64)).max()) if n else 1
-    pmax = 0 if group_max > 256 else int(
-        2 ** int(np.ceil(np.log2(max(group_max, 4))))
-    )
+    pmax = 0 if group_max > 256 else min(
+        n, int(2 ** int(np.ceil(np.log2(max(group_max, 4)))))
+    )  # clamp to n: top_k over an n-wide axis cannot take k > n
 
     emb_dev = jnp.asarray(embeddings)
     ids_dev = jnp.asarray(ids)
-    # accumulate ON DEVICE: one readback per key at the end, not per block
-    # (each tiny D2H through the dev tunnel costs ~15 ms; 30 keys x N/b
-    # blocks was minutes of pure sync at N=100k).
-    acc_dev: Dict[str, Array] = {}
+    # keep every block's scalars ON DEVICE and fetch once at the end (each
+    # tiny D2H through the dev tunnel costs ~15 ms; 30 keys x N/b blocks was
+    # minutes of pure sync at N=100k) — but do the cross-block summation on
+    # host in float64: counters reach ~1e10 at N=100k where f32 adds round
+    # at ~6e-8 relative per block.
+    block_outs = []
     for start in range(0, n, b):
         rows = np.arange(start, start + b)
         valid = rows < n
         rows = np.minimum(rows, n - 1)
-        out = _metrics_block(
+        block_outs.append(_metrics_block(
             emb_dev[rows], ids_dev[rows], jnp.asarray(valid),
             emb_dev, ids_dev, sorted_intra, jnp.asarray(start),
             tuple(thresholds), kmax, pmax,
-        )
-        for key, val in out.items():
-            acc_dev[key] = acc_dev.get(key, 0.0) + val
-    acc = {k: float(v) for k, v in jax.device_get(acc_dev).items()}
+        ))
+    stacked = jax.device_get({
+        key: jnp.stack([o[key] for o in block_outs])
+        for key in block_outs[0]
+    })
+    acc = {key: float(np.sum(np.asarray(v, np.float64)))
+           for key, v in stacked.items()}
 
     n_intra, n_inter = acc["n_intra"], acc["n_inter"]
 

@@ -331,6 +331,25 @@ def sharded_topk_cosine(
 _SHARDED_SEARCH_CACHE: dict = {}
 
 
+def stage_sharded_corpus(corpus, mesh: Mesh, axis_name: str = "corpus"):
+    """Pad the corpus on HOST and place it row-sharded over the mesh — the
+    full matrix is never materialized on a single device, so per-device
+    memory really is O(N/d·D). Returns (device_array, n_true); pass the
+    tuple to `sharded_topk_search` to reuse the staged corpus across
+    searches."""
+    from jax.sharding import NamedSharding
+
+    d = mesh.shape[axis_name]
+    corpus = np.asarray(corpus, np.float32)
+    n = corpus.shape[0]
+    per_shard = max(8, (((n + d - 1) // d + 7) // 8) * 8)
+    n_pad = d * per_shard
+    if n_pad != n:
+        corpus = np.pad(corpus, ((0, n_pad - n), (0, 0)))
+    placed = jax.device_put(corpus, NamedSharding(mesh, P(axis_name, None)))
+    return placed, n
+
+
 def sharded_topk_search(
     queries: Array,
     corpus: Array,
@@ -353,20 +372,29 @@ def sharded_topk_search(
     `lax.top_k` per shard). Returns (scores (M, k), indices (M, k)) in
     corpus coordinates, identical to `topk_search(method="exact")`.
     Reference workload: fingerprint.py:515-548 (FAISS query path).
+
+    `corpus` may be an (N, D) host array (staged row-sharded via
+    `stage_sharded_corpus` — the full matrix never lands on one device) or
+    the (device_array, n) tuple that function returns, so repeated searches
+    against a static corpus skip re-staging.
     """
     if mesh is None:
         from video_fingerprint_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(axis_name)
     d = mesh.shape[axis_name]
-    n, dim = corpus.shape
     m = queries.shape[0]
-    per_shard = (n + d - 1) // d
-    corpus_pad, n_pad = _pad_rows(corpus.astype(jnp.float32),
-                                  d * max(8, ((per_shard + 7) // 8) * 8))
+    if m == 0:
+        return (np.zeros((0, k), np.float32), np.zeros((0, k), np.int32))
+    if isinstance(corpus, tuple):
+        corpus_pad, n = corpus  # prepared by stage_sharded_corpus
+    else:
+        corpus_pad, n = stage_sharded_corpus(corpus, mesh, axis_name)
+    n_pad = corpus_pad.shape[0]
+    dim = corpus_pad.shape[1]
     shard_rows = n_pad // d
     q_block = min(query_block, ((m + 7) // 8) * 8)
-    q_pad, m_pad = _pad_rows(queries.astype(jnp.float32), q_block)
+    q_pad, m_pad = _pad_rows(jnp.asarray(queries, jnp.float32), q_block)
     local_k = min(k, shard_rows)
 
     key = (mesh, axis_name, m_pad, n_pad, dim, k, local_k, q_block, precision)
