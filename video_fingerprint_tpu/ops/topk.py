@@ -393,7 +393,11 @@ def sharded_topk_search(
     n_pad = corpus_pad.shape[0]
     dim = corpus_pad.shape[1]
     shard_rows = n_pad // d
-    q_block = min(query_block, ((m + 7) // 8) * 8)
+    # pow2 bucket: query counts vary scan-to-scan, and every distinct padded
+    # shape is a fresh (minutes-long, on the dev tunnel) XLA compile — this
+    # bounds the shape set to {8, 16, ..., query_block}.
+    q_block = min(query_block,
+                  int(2 ** np.ceil(np.log2(max(m, 8)))))
     q_pad, m_pad = _pad_rows(jnp.asarray(queries, jnp.float32), q_block)
     local_k = min(k, shard_rows)
 
