@@ -71,6 +71,34 @@ def test_fewer_than_two(scanner_cls):
     assert scanner_cls.find_duplicates(fingerprints, 0.9) == []
 
 
+def test_topk_path_pow2_padding_matches_direct(scanner_cls):
+    """The top-k search pads the corpus to a pow2 bucket (one compile per
+    bucket, not per corpus size). Zero pad rows and negative sims must not
+    change the grouping: compare against the all-pairs direct path on a
+    corpus just past a bucket boundary with anti-correlated pairs."""
+    rng = np.random.default_rng(11)
+    n, D = 130, 32  # pads to 256
+    e = rng.normal(size=(n, D)).astype(np.float32)
+    e[1] = e[0]                 # one duplicate pair
+    e[3] = -e[2]                # strongly negative sim pair
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    fps = {
+        f"/v/{i}.mp4": {
+            "embedding": e[i], "path": f"/v/{i}.mp4", "name": f"{i}.mp4",
+            "size": i, "file_hash": f"h{min(i, 1)}" if i in (0, 1) else f"h{i}",
+            "embedding_norm": 1.0,
+        }
+        for i in range(n)
+    }
+    g_topk = scanner_cls.find_duplicates(fps, similarity_threshold=0.95,
+                                         topk_threshold=0)
+    g_direct = scanner_cls.find_duplicates(fps, similarity_threshold=0.95,
+                                           topk_threshold=10**9)
+    names = lambda gs: sorted(tuple(sorted(i["name"] for i in g)) for g in gs)  # noqa: E731
+    assert names(g_topk) == names(g_direct)
+    assert ("0.mp4", "1.mp4") in names(g_topk)
+
+
 def test_greedy_no_revisit(scanner_cls):
     """An index claimed by an earlier group never re-appears (processed-set
     semantics, fingerprint.py:495-505)."""

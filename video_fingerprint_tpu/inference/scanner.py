@@ -758,26 +758,38 @@ class FingerprintScanner:
         reference applies to FAISS results (fingerprint.py:515-548)."""
         from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
 
-        k = min(20, len(embeddings))
-        if len(jax.devices()) > 1 and len(embeddings) >= 8 * len(jax.devices()):
-            sims, idx = sharded_topk_cosine(jnp.asarray(embeddings), k)
+        n = len(embeddings)
+        k = min(20, n)
+        # pow2 corpus bucket: the search compiles per padded shape, and a
+        # growing library would otherwise pay a fresh XLA compile on EVERY
+        # scan. Zero-pad rows score sim 0 against unit-norm embeddings —
+        # below any duplicate threshold, and the grouping loop additionally
+        # drops candidate ids >= n, so results match the unpadded search
+        # (gated by test_dedup).
+        n_pad = 1 << int(np.ceil(np.log2(max(n, 128))))
+        padded = embeddings
+        if n_pad != n:
+            padded = np.zeros((n_pad, embeddings.shape[1]), np.float32)
+            padded[:n] = embeddings
+        if len(jax.devices()) > 1 and n >= 8 * len(jax.devices()):
+            sims, idx = sharded_topk_cosine(jnp.asarray(padded), k)
         else:
             # exact_above=threshold: the certified-approx path only needs
             # candidate-completeness above the grouping threshold (the
             # grouping below ignores everything under it), which keeps the
             # repair pass near-empty (ops/topk.py).
-            sims, idx = topk_cosine(jnp.asarray(embeddings), k,
+            sims, idx = topk_cosine(jnp.asarray(padded), k,
                                     exact_above=threshold)
-        sims, idx = np.asarray(sims), np.asarray(idx)
+        sims, idx = np.asarray(sims)[:n], np.asarray(idx)[:n]
 
         processed = set()
         groups = []
-        for i in range(len(embeddings)):
+        for i in range(n):
             if i in processed:
                 continue
             group = []
             for sim, j in zip(sims[i], idx[i]):
-                if sim >= threshold and int(j) not in processed:
+                if sim >= threshold and int(j) < n and int(j) not in processed:
                     processed.add(int(j))
                     item = dict(fingerprints[paths[int(j)]])
                     item["similarity"] = float(sim)
