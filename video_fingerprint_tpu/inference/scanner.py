@@ -760,27 +760,19 @@ class FingerprintScanner:
 
         n = len(embeddings)
         k = min(20, n)
-        # pow2 corpus bucket: the search compiles per padded shape, and a
-        # growing library would otherwise pay a fresh XLA compile on EVERY
-        # scan. Zero-pad rows score sim 0 against unit-norm embeddings —
-        # below any duplicate threshold, and the grouping loop additionally
-        # drops candidate ids >= n, so results match the unpadded search
-        # (gated by test_dedup).
-        n_pad = 1 << int(np.ceil(np.log2(max(n, 128))))
-        padded = embeddings
-        if n_pad != n:
-            padded = np.zeros((n_pad, embeddings.shape[1]), np.float32)
-            padded[:n] = embeddings
+        # compile-shape stability for growing libraries lives in ops/topk:
+        # topk_search buckets the corpus internally (exact -inf masking),
+        # so every scan of a grown library reuses a compiled bucket shape.
         if len(jax.devices()) > 1 and n >= 8 * len(jax.devices()):
-            sims, idx = sharded_topk_cosine(jnp.asarray(padded), k)
+            sims, idx = sharded_topk_cosine(jnp.asarray(embeddings), k)
         else:
             # exact_above=threshold: the certified-approx path only needs
             # candidate-completeness above the grouping threshold (the
             # grouping below ignores everything under it), which keeps the
             # repair pass near-empty (ops/topk.py).
-            sims, idx = topk_cosine(jnp.asarray(padded), k,
+            sims, idx = topk_cosine(jnp.asarray(embeddings), k,
                                     exact_above=threshold)
-        sims, idx = np.asarray(sims)[:n], np.asarray(idx)[:n]
+        sims, idx = np.asarray(sims), np.asarray(idx)
 
         processed = set()
         groups = []

@@ -45,6 +45,16 @@ Array = jax.Array
 _NEG = jnp.float32(-jnp.inf)
 
 
+def _bucket_rows(n: int, floor: int = 1024) -> int:
+    """Round n up to a bounded bucket set (1/16-octave granularity, <=~6%
+    padding waste at scale): searches compile per padded shape, and a
+    growing corpus must not pay a fresh multi-minute XLA compile per scan."""
+    if n <= floor:
+        return floor
+    g = max(floor // 16, 1 << (int(np.floor(np.log2(n))) - 4))
+    return -(-n // g) * g
+
+
 def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
     n = x.shape[0]
     padded = ((n + multiple - 1) // multiple) * multiple
@@ -65,17 +75,20 @@ _SIM_PRECISION = jax.lax.Precision.HIGH
 
 
 @partial(jax.jit, static_argnames=("k", "query_block", "precision"))
-def _exact_search(queries: Array, corpus: Array, k: int,
+def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
                   query_block: int = 1024, precision=_SIM_PRECISION):
-    """Single-stage exact k-NN: query-tiled matmul + full-width lax.top_k."""
+    """Single-stage exact k-NN: query-tiled matmul + full-width lax.top_k.
+    Corpus rows at index >= n_valid are padding, masked to -inf."""
     m = queries.shape[0]
     corpus = corpus.astype(jnp.float32)
+    col_valid = jnp.arange(corpus.shape[0]) < n_valid
     q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
 
     def block_topk(qb):
         sims = jnp.dot(qb, corpus.T, precision=precision,
                        preferred_element_type=jnp.float32)
+        sims = jnp.where(col_valid[None, :], sims, _NEG)
         return jax.lax.top_k(sims, k)
 
     scores, idx = jax.lax.map(block_topk, q_blocks)
@@ -84,7 +97,7 @@ def _exact_search(queries: Array, corpus: Array, k: int,
 
 @partial(jax.jit,
          static_argnames=("k", "query_block", "recall", "thr", "precision"))
-def _certified_search(queries: Array, corpus: Array, k: int,
+def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
                       query_block: int, recall: float,
                       thr: Optional[float], precision=_SIM_PRECISION):
     """approx_max_k (TPU PartialReduce) + a per-row exactness certificate
@@ -107,12 +120,14 @@ def _certified_search(queries: Array, corpus: Array, k: int,
     """
     m = queries.shape[0]
     corpus = corpus.astype(jnp.float32)
+    col_valid = jnp.arange(corpus.shape[0]) < n_valid
     q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
 
     def block_fn(qb):
         sims = jnp.dot(qb, corpus.T, precision=precision,
                        preferred_element_type=jnp.float32)
+        sims = jnp.where(col_valid[None, :], sims, _NEG)
         s, i = jax.lax.approx_max_k(sims, k, recall_target=recall)
         s_k = s[:, k - 1]
         strict = (jnp.sum(sims > s_k[:, None], axis=1)
@@ -130,13 +145,16 @@ def _certified_search(queries: Array, corpus: Array, k: int,
 
 
 @partial(jax.jit, static_argnames=("k", "precision"))
-def _exact_rows_fix(queries: Array, corpus: Array, rows: Array, k: int,
-                    precision=_SIM_PRECISION):
+def _exact_rows_fix(queries: Array, corpus: Array, n_valid: Array,
+                    rows: Array, k: int, precision=_SIM_PRECISION):
     """Exact top-k for a fixed-size batch of gathered query rows. `rows` may
-    contain out-of-range pad entries (clamped by take; dropped at scatter)."""
+    contain out-of-range pad entries (clamped by take; dropped at scatter);
+    corpus rows at index >= n_valid are padding, masked to -inf."""
     qb = jnp.take(queries.astype(jnp.float32), rows, axis=0, mode="clip")
     sims = jnp.dot(qb, corpus.astype(jnp.float32).T, precision=precision,
                    preferred_element_type=jnp.float32)
+    sims = jnp.where(jnp.arange(corpus.shape[0])[None, :] < n_valid,
+                     sims, _NEG)
     return jax.lax.top_k(sims, k)
 
 
@@ -180,19 +198,30 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     """
     if recall_target is None:
         recall_target = 0.99 if exact_above is None else 0.95
+    n = corpus.shape[0]
     if method == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        method = ("certified"
-                  if on_tpu and corpus.shape[0] >= 16384 and k < corpus.shape[0]
-                  else "exact")
+        method = ("certified" if on_tpu and n >= 16384 and k < n else "exact")
+    # bucketed corpus with an exact -inf validity mask: every search
+    # compiles per bucket (<=16 per octave, <=~6% pad waste), not per corpus
+    # size — a growing library would otherwise trigger a fresh XLA compile
+    # on every scan. Results are bit-identical to the unpadded search (pad
+    # columns can never enter a top-k or a certificate count).
+    n_pad = _bucket_rows(n)
+    if n_pad != n:
+        corpus = jnp.concatenate(
+            [jnp.asarray(corpus, jnp.float32),
+             jnp.zeros((n_pad - n, corpus.shape[1]), jnp.float32)]
+        )
+    n_valid = jnp.asarray(n, jnp.int32)
     if method == "exact":
-        return _exact_search(queries, corpus, k, query_block=query_block,
-                             precision=precision)
+        return _exact_search(queries, corpus, n_valid, k,
+                             query_block=query_block, precision=precision)
     if method != "certified":
         raise ValueError(f"unknown top-k method {method!r}")
 
     scores, idx, ok = _certified_search(
-        queries, corpus, k, query_block, recall_target, exact_above,
+        queries, corpus, n_valid, k, query_block, recall_target, exact_above,
         precision=precision,
     )
     bad = np.flatnonzero(~np.asarray(ok))
@@ -204,8 +233,8 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
             rows = np.full((fix_block,), m, np.int32)  # m = dropped pad
             rows[: chunk.size] = chunk
             rows_dev = jnp.asarray(rows)
-            fix_s, fix_i = _exact_rows_fix(queries, corpus, rows_dev, k,
-                                           precision=precision)
+            fix_s, fix_i = _exact_rows_fix(queries, corpus, n_valid, rows_dev,
+                                           k, precision=precision)
             scores, idx = _scatter_fix(scores, idx, rows_dev, fix_s, fix_i)
     return scores, idx
 
@@ -342,7 +371,8 @@ def stage_sharded_corpus(corpus, mesh: Mesh, axis_name: str = "corpus"):
     d = mesh.shape[axis_name]
     corpus = np.asarray(corpus, np.float32)
     n = corpus.shape[0]
-    per_shard = max(8, (((n + d - 1) // d + 7) // 8) * 8)
+    # bucket rows like topk_search so index growth reuses compiled shapes
+    per_shard = max(8, ((-(-_bucket_rows(n) // d) + 7) // 8) * 8)
     n_pad = d * per_shard
     if n_pad != n:
         corpus = np.pad(corpus, ((0, n_pad - n), (0, 0)))
