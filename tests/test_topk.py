@@ -130,6 +130,24 @@ def test_sharded_topk_search_small_and_k_past_shard():
     np.testing.assert_allclose(np.asarray(scores), o_scores, atol=1e-5)
 
 
+def test_bucket_rows_properties():
+    """Shape-bucketing invariants: covers n, bounded waste past the floor,
+    and a bounded bucket count (compile-count cap) per power of two."""
+    from video_fingerprint_tpu.ops.topk import _bucket_rows
+
+    buckets = set()
+    for n in list(range(1, 3000, 7)) + [10**4, 10**5, 123_457, 10**6]:
+        b = _bucket_rows(n)
+        assert b >= n
+        if n > 2048:  # past the floor: waste bounded by the 1/16-octave grid
+            assert b / n <= 1.0625 + 1e-9, (n, b)
+        buckets.add(b)
+    # octave [65536, 131072): at most 16 distinct buckets
+    octave = {b for b in (_bucket_rows(n) for n in range(65537, 131073, 97))
+              if 65536 < b <= 131072}
+    assert len(octave) <= 16
+
+
 def test_sharded_topk_search_zero_queries(embeddings):
     """m=0 must return empty results like the single-device path, and the
     staged-corpus tuple must be reusable across searches."""
