@@ -82,6 +82,96 @@ def test_param_distribution_matches_reference_table():
     assert -5 <= mins["rotation_angle"] and maxs["rotation_angle"] <= 5
 
 
+def test_per_frame_sampling_granularity():
+    """Letterbox bar+orientation, overlay box and rotation angle are drawn
+    per FRAME (reference dataset.py:319-320, :328-331, :344): (B, T)-shaped
+    with real variation along T. A per-clip draw (all frames of one clip
+    identical) must fail here."""
+    p = sample_params(jax.random.PRNGKey(0), 8, HW, num_frames=16)
+    for key in ("letterbox_bar", "letterbox_vertical", "rotation_angle"):
+        assert p[key].shape == (8, 16), key
+    assert p["overlay_box"].shape == (8, 16, 4)
+    bars = np.asarray(p["letterbox_bar"])
+    assert (bars.std(axis=1) > 0).all()  # every clip varies along T
+    box = np.asarray(p["overlay_box"], np.float32)
+    assert (box.std(axis=1).sum(axis=-1) > 0).all()
+    ang = np.asarray(p["rotation_angle"])
+    gated = np.asarray(p["do_rotation"]) > 0
+    if gated.any():
+        assert (ang[gated].std(axis=1) > 0).all()
+    assert (ang[~gated] == 0).all()
+    # gates and color/noise/blur params stay per-clip
+    for key in ("do_letterbox", "do_overlay", "do_rotation", "brightness",
+                "contrast", "saturation", "hue_shift", "noise_level",
+                "blur_idx"):
+        assert p[key].shape == (8,), key
+
+
+def test_per_frame_rotation_matches_cv2_per_frame():
+    """(B, T) rotation angles: each frame is rotated by ITS angle, matching
+    cv2.warpAffine frame-by-frame (reference draws the angle inside the
+    per-frame loop, dataset.py:344)."""
+    rng = np.random.default_rng(2)
+    base = rng.random((HW, HW, 3), np.float32)
+    clips_same = jnp.asarray(np.tile(base, (B, T, 1, 1, 1)).reshape(
+        B, T, HW, HW, 3))
+    angles = np.tile(np.linspace(-4.0, 4.0, T, dtype=np.float32)[None],
+                     (B, 1))
+    p = _identity_params()
+    p["do_rotation"] = jnp.ones((B,))
+    p["rotation_angle"] = jnp.asarray(angles)
+    out = np.asarray(apply_augmentations(p, clips_same, jax.random.PRNGKey(0)))
+    for t in range(T):
+        M = cv2.getRotationMatrix2D((HW // 2, HW // 2), float(angles[0, t]), 1.0)
+        ref = cv2.warpAffine(base, M, (HW, HW))
+        diff = np.abs(out[0, t, 4:-4, 4:-4] - ref[4:-4, 4:-4])
+        assert diff.max() < 1e-4, t
+    # and frames genuinely differ from each other
+    assert np.abs(out[0, 0] - out[0, -1]).max() > 0.01
+
+
+def test_per_frame_letterbox_and_overlay_apply():
+    """(B, T)-shaped letterbox/overlay params hit each frame with its own
+    bar/box."""
+    clips_ones = jnp.ones((B, T, HW, HW, 3), jnp.float32)
+    p = _identity_params()
+    p["do_letterbox"] = jnp.ones((B,))
+    bars = jnp.asarray(np.tile(np.array([5, 9, 13], np.int32)[None], (B, 1)))
+    p["letterbox_bar"] = bars
+    p["letterbox_vertical"] = jnp.ones((B, T))
+    out = np.asarray(apply_augmentations(p, clips_ones, jax.random.PRNGKey(0)))
+    for t, bar in enumerate([5, 9, 13]):
+        assert (out[0, t, :bar] == 0).all() and (out[0, t, -bar:] == 0).all()
+        assert (out[0, t, bar:-bar] != 0).all()
+
+    p = _identity_params()
+    p["do_overlay"] = jnp.ones((B,))
+    boxes = np.tile(np.array([[0, 0, 10, 30], [20, 20, 10, 30],
+                              [40, 30, 12, 31]], np.int32)[None], (B, 1, 1))
+    p["overlay_box"] = jnp.asarray(boxes)
+    out = np.asarray(apply_augmentations(p, clips_ones, jax.random.PRNGKey(0)))
+    for t in range(T):
+        oy, ox, ohh, oww = boxes[0, t]
+        np.testing.assert_allclose(out[0, t, oy:oy + ohh, ox:ox + oww], 1.0,
+                                   atol=1e-6)
+        # exactly oh*ow pixels touched per frame
+        touched = (np.abs(out[0, t] - 1.0) < 1e-6).all(-1).sum()
+        assert touched == HW * HW  # input is all-ones; overlay blends to 1.0
+    # distinguish via a non-trivial input
+    rngc = np.random.default_rng(0)
+    clipsr = jnp.asarray(rngc.random((B, T, HW, HW, 3), np.float32) * 0.5)
+    out = np.asarray(apply_augmentations(p, clipsr, jax.random.PRNGKey(0)))
+    x = np.asarray(clipsr)
+    for t in range(T):
+        oy, ox, ohh, oww = boxes[0, t]
+        np.testing.assert_allclose(out[0, t, oy:oy + ohh, ox:ox + oww],
+                                   0.7 * x[0, t, oy:oy + ohh, ox:ox + oww] + 0.3,
+                                   atol=1e-6)
+        mask = np.ones((HW, HW), bool)
+        mask[oy:oy + ohh, ox:ox + oww] = False
+        np.testing.assert_allclose(out[0, t][mask], x[0, t][mask], atol=1e-6)
+
+
 def test_identity_and_determinism(clips):
     p = _identity_params()
     out = apply_augmentations(p, clips, jax.random.PRNGKey(0))

@@ -5,9 +5,14 @@ Same transforms, probabilities and parameter ranges as the reference
 from an explicit np.random.Generator, so the pipeline is reproducible
 (SURVEY.md §7: the reference uses unseeded global RNGs everywhere).
 
-Clip-level parameters are sampled once and applied to every frame (temporal
-consistency, like the reference); the resize/crop path samples per frame
-(also like the reference — dataset.py:438 calls _resize_frame per frame).
+Sampling granularity matches the reference exactly: the eight gates and the
+color / noise-sigma / blur-kernel / JPEG-quality parameters are drawn once
+per clip (dataset.py:250-266, before the frame loop), while the letterbox
+bar size AND orientation (dataset.py:319-320), the overlay rectangle
+(dataset.py:328-331) and the rotation angle (dataset.py:344) are drawn
+fresh INSIDE the per-frame loop — frames of one clip get different bars,
+boxes and angles. The resize/crop path also samples per frame
+(dataset.py:438 calls _resize_frame per frame).
 
 JPEG recompression stays host-side (it's a codec); everything else is cheap
 numpy/cv2 on uint8.
@@ -57,7 +62,11 @@ def train_resize_frame(
 
 @dataclasses.dataclass
 class ClipAugmentParams:
-    """One draw of clip-level augmentation parameters."""
+    """One draw of the CLIP-level augmentation parameters (gates + color /
+    noise / blur / JPEG values). Letterbox bar+orientation, overlay box and
+    rotation angle are drawn per FRAME inside apply_augmentations (reference
+    dataset.py:319-320, :328-331, :344); the Optional fields below pin them
+    to a fixed value for all frames — a test/debug hook, never sampled."""
 
     brightness: float = 1.0
     contrast: float = 1.0
@@ -70,12 +79,12 @@ class ClipAugmentParams:
     do_compression: bool = False
     blur_kernel: int = 0
     do_letterbox: bool = False
-    letterbox_bar: int = 0
-    letterbox_vertical: bool = False
+    letterbox_bar: Optional[int] = None
+    letterbox_vertical: Optional[bool] = None
     do_overlay: bool = False
-    overlay_box: tuple = (0, 0, 0, 0)  # y, x, h, w
+    overlay_box: Optional[tuple] = None  # y, x, h, w
     do_rotation: bool = False
-    rotation_angle: float = 0.0
+    rotation_angle: Optional[float] = None
 
     @staticmethod
     def sample(rng: np.random.Generator, frame_size: int) -> "ClipAugmentParams":
@@ -97,17 +106,6 @@ class ClipAugmentParams:
         p.noise_level = rng.uniform(0.02, 0.1) if do_noise else 0.0
         p.jpeg_quality = int(rng.integers(30, 91)) if p.do_compression else 100
         p.blur_kernel = int([3, 5, 7][rng.integers(3)]) if do_blur else 0
-        if p.do_letterbox:
-            p.letterbox_bar = int(rng.integers(5, 16))
-            p.letterbox_vertical = rng.random() > 0.5
-        if p.do_overlay:
-            oh = int(rng.integers(10, 21))
-            ow = int(rng.integers(30, 61))
-            oy = int(rng.integers(0, max(1, frame_size - oh)))
-            ox = int(rng.integers(0, max(1, frame_size - ow)))
-            p.overlay_box = (oy, ox, oh, ow)
-        if p.do_rotation:
-            p.rotation_angle = rng.uniform(-5, 5)
         return p
 
 
@@ -131,7 +129,9 @@ def apply_augmentations(
     frame_size: int,
     params: Optional[ClipAugmentParams] = None,
 ) -> List[np.ndarray]:
-    """Apply one set of clip-level params to all frames (dataset.py:246-353)."""
+    """Apply clip-level params to all frames, drawing the letterbox bar +
+    orientation, overlay box and rotation angle per FRAME like the reference
+    (dataset.py:246-353; per-frame draws at :319-320, :328-331, :344)."""
     p = params or ClipAugmentParams.sample(rng, frame_size)
     out = []
     for frame in frames:
@@ -178,8 +178,12 @@ def apply_augmentations(
                 f = cv2.cvtColor(cv2.imdecode(enc, 1), cv2.COLOR_BGR2RGB)
 
         if p.do_letterbox:
-            b = p.letterbox_bar
-            if p.letterbox_vertical:
+            # per-frame bar size AND orientation (reference dataset.py:319-320)
+            b = (int(rng.integers(5, 16)) if p.letterbox_bar is None
+                 else p.letterbox_bar)
+            vertical = (rng.random() > 0.5 if p.letterbox_vertical is None
+                        else p.letterbox_vertical)
+            if vertical:
                 f[:b, :] = 0
                 f[-b:, :] = 0
             else:
@@ -187,15 +191,26 @@ def apply_augmentations(
                 f[:, -b:] = 0
 
         if p.do_overlay:
-            oy, ox, oh, ow = p.overlay_box
+            if p.overlay_box is None:
+                # per-frame rectangle (reference dataset.py:328-331;
+                # randint is inclusive on both ends)
+                oh = int(rng.integers(10, 21))
+                ow = int(rng.integers(30, 61))
+                oy = int(rng.integers(0, max(1, frame_size - oh + 1)))
+                ox = int(rng.integers(0, max(1, frame_size - ow + 1)))
+            else:
+                oy, ox, oh, ow = p.overlay_box
             region = f[oy : oy + oh, ox : ox + ow].astype(np.float32)
             f[oy : oy + oh, ox : ox + ow] = (
                 0.7 * region + 0.3 * 255.0
             ).astype(np.uint8)
 
         if p.do_rotation:
+            # per-frame angle (reference dataset.py:344)
+            angle = (rng.uniform(-5, 5) if p.rotation_angle is None
+                     else p.rotation_angle)
             center = (f.shape[1] // 2, f.shape[0] // 2)
-            M = cv2.getRotationMatrix2D(center, p.rotation_angle, 1.0)
+            M = cv2.getRotationMatrix2D(center, angle, 1.0)
             f = cv2.warpAffine(f, M, (f.shape[1], f.shape[0]))
 
         out.append(f)

@@ -6,13 +6,18 @@ the jitted train step — the host pipeline (data/augment.py) applies the same
 transforms per-frame in Python/cv2 and saturates host cores long before the
 chip does (SURVEY.md §7 step 7, VERDICT r2 missing #2).
 
-Same transforms, probabilities and parameter ranges as the reference, one
-param draw per clip applied to every frame (temporal consistency):
+Same transforms, probabilities and parameter ranges as the reference, at the
+reference's sampling granularity: the eight gates and the color / noise-sigma
+/ blur-kernel params are one draw per CLIP (reference dataset.py:250-266),
+while the letterbox bar+orientation, overlay box and rotation angle are one
+draw per FRAME — (B, T)-shaped — matching the reference's in-loop draws
+(dataset.py:319-320, :328-331, :344):
 
   color p=.7 (brightness/contrast/saturation U[0.5,1.5], hue U[-0.1,0.1]),
   hflip p=.5, gaussian noise p=.3 (sigma U[0.02,0.1]), blur p=.5
-  (k in {3,5,7}, cv2's sigma-from-k rule), letterbox p=.3 (bar 5-15px),
-  white overlay p=.2 (alpha .3), rotation p=.2 (+-5 deg bilinear).
+  (k in {3,5,7}, cv2's sigma-from-k rule), letterbox p=.3 (bar 5-15px,
+  per-frame), white overlay p=.2 (alpha .3, per-frame box), rotation p=.2
+  (+-5 deg bilinear, per-frame angle).
 
 JPEG recompression (p=.5) is a codec and stays host-side — in device-augment
 mode the host pipeline applies ONLY resize + JPEG before staging
@@ -77,11 +82,19 @@ def _kernel_table():
     return np.stack([_gauss_kernel7(k) for k in (0, *_BLUR_KS)])
 
 
-def sample_params(key: Array, batch: int, frame_size: int) -> Dict[str, Array]:
-    """Per-clip augmentation parameters, reference distribution table
-    (dataset.py:250-257 gates; parameter ranges :259-353). All entries are
-    (B,)-shaped arrays; gates are f32 in {0,1} so they blend with where/lerp.
-    JPEG compression is intentionally absent (host-side codec)."""
+def sample_params(
+    key: Array, batch: int, frame_size: int, num_frames: Optional[int] = None
+) -> Dict[str, Array]:
+    """Augmentation parameters at the reference's sampling granularity:
+    gates and color/noise/blur values are one draw per clip — (B,)-shaped —
+    (dataset.py:250-266), while letterbox bar+orientation, overlay box and
+    rotation angle are one draw per frame — (B, T)-shaped when `num_frames`
+    is given — matching the reference's in-loop draws (dataset.py:319-320,
+    :328-331, :344). With num_frames=None those four stay (B,)-shaped (one
+    draw shared by all frames; test/debug hook). Gates are f32 in {0,1} so
+    they blend with where/lerp. JPEG compression is intentionally absent
+    (host-side codec)."""
+    fshape = (batch,) if num_frames is None else (batch, num_frames)
     ks = jax.random.split(key, 16)
     u = lambda k: jax.random.uniform(k, (batch,))  # noqa: E731
     do_color = (u(ks[0]) > 0.3).astype(jnp.float32)
@@ -92,12 +105,13 @@ def sample_params(key: Array, batch: int, frame_size: int) -> Dict[str, Array]:
     do_overlay = (u(ks[5]) > 0.8).astype(jnp.float32)
     do_rotation = (u(ks[6]) > 0.8).astype(jnp.float32)
 
-    oh = jax.random.randint(ks[7], (batch,), 10, 21)
-    ow = jax.random.randint(ks[8], (batch,), 30, 61)
-    oy = jax.random.randint(ks[9], (batch,), 0,
-                            jnp.maximum(1, frame_size - oh))
-    ox = jax.random.randint(ks[10], (batch,), 0,
-                            jnp.maximum(1, frame_size - ow))
+    oh = jax.random.randint(ks[7], fshape, 10, 21)
+    ow = jax.random.randint(ks[8], fshape, 30, 61)
+    # randint high is exclusive; reference randint(0, size-oh) is inclusive
+    oy = jax.random.randint(ks[9], fshape, 0,
+                            jnp.maximum(1, frame_size - oh + 1))
+    ox = jax.random.randint(ks[10], fshape, 0,
+                            jnp.maximum(1, frame_size - ow + 1))
     return {
         "do_color": do_color,
         "brightness": jax.random.uniform(ks[11], (batch,), minval=0.5, maxval=1.5),
@@ -117,16 +131,18 @@ def sample_params(key: Array, batch: int, frame_size: int) -> Dict[str, Array]:
         ),
         "do_letterbox": do_letterbox,
         "letterbox_bar": jax.random.randint(
-            jax.random.fold_in(key, 102), (batch,), 5, 16
+            jax.random.fold_in(key, 102), fshape, 5, 16
         ),
         "letterbox_vertical": (
-            jax.random.uniform(jax.random.fold_in(key, 103), (batch,)) > 0.5
+            jax.random.uniform(jax.random.fold_in(key, 103), fshape) > 0.5
         ).astype(jnp.float32),
         "do_overlay": do_overlay,
-        "overlay_box": jnp.stack([oy, ox, oh, ow], axis=1),  # (B, 4)
+        "overlay_box": jnp.stack([oy, ox, oh, ow], axis=-1),  # (B[, T], 4)
         "do_rotation": do_rotation,
-        "rotation_angle": do_rotation * jax.random.uniform(
-            jax.random.fold_in(key, 104), (batch,), minval=-5.0, maxval=5.0
+        "rotation_angle": do_rotation.reshape(
+            (batch,) + (1,) * (len(fshape) - 1)
+        ) * jax.random.uniform(
+            jax.random.fold_in(key, 104), fshape, minval=-5.0, maxval=5.0
         ),
     }
 
@@ -207,9 +223,11 @@ def _blur(x: Array, blur_idx: Array) -> Array:
 
 def _rotate_bilinear(x: Array, angle_deg: Array,
                      max_angle_deg: float = 5.0) -> Array:
-    """Per-clip rotation about the frame center, bilinear, zero fill —
+    """Rotation about the frame center, bilinear, zero fill —
     cv2.warpAffine(getRotationMatrix2D(center, angle, 1.0)) semantics
-    (reference dataset.py:345-351). x: (B, ..., H, W, C).
+    (reference dataset.py:345-351). x: (B, ..., H, W, C); angle_deg may be
+    (B,) (one angle per clip) or (B, T) (per-frame angles, the reference's
+    granularity — dataset.py:344) — any shape equal to x.shape[:angle.ndim].
 
     Implemented as a static stencil, not a gather: a 2-D gather of 3-float
     rows measured 181 ms/clip-batch on v5e (tools/exp_augment_hotspot.py,
@@ -234,32 +252,38 @@ def _rotate_bilinear(x: Array, angle_deg: Array,
     # cv2 positive angle = CCW in image coords; the inverse (dst->src) map
     # then uses +theta directly (verified to 5e-6 against warpAffine).
     theta = angle_deg * (jnp.pi / 180.0)
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    lead = theta.shape  # (B,) or (B, T)
+    tshape = lead + (1, 1)
+    cos = jnp.cos(theta).reshape(tshape)
+    sin = jnp.sin(theta).reshape(tshape)
     yy, xx = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
-    bshape = (-1,) + (1,) * 2
     # source coords for each destination pixel (inverse rotation)
-    sx = cos.reshape(bshape) * (xx - cx) - sin.reshape(bshape) * (yy - cy) + cx
-    sy = sin.reshape(bshape) * (xx - cx) + cos.reshape(bshape) * (yy - cy) + cy
+    sx = cos * (xx - cx) - sin * (yy - cy) + cx
+    sy = sin * (xx - cx) + cos * (yy - cy) + cy
 
-    extra = x.ndim - 4  # dims between B and (H, W, C), e.g. the T axis
+    # dims between the angle's lead dims and (H, W, C) — e.g. the T axis
+    # when angles are per-clip; empty when angles are per-frame (B, T)
+    extra = x.ndim - len(lead) - 3
     P = R + 1
     pad = [(0, 0)] * x.ndim
     pad[-3] = (P, P)
     pad[-2] = (P, P)
     xp = jnp.pad(x, pad)  # zero fill = cv2 BORDER_CONSTANT(0)
-    # per-axis triangle weights for each integer tap offset: (2R+1, B, H, W)
-    offs = jnp.arange(-R, R + 1, dtype=jnp.float32)
-    wys = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (yy + offs[:, None, None, None])))
-    wxs = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (xx + offs[:, None, None, None])))
+    # per-axis triangle weights per integer tap offset: (2R+1, *lead, H, W)
+    offs = jnp.arange(-R, R + 1, dtype=jnp.float32).reshape(
+        (2 * R + 1,) + (1,) * sx.ndim
+    )
+    wys = jnp.maximum(0.0, 1.0 - jnp.abs(sy - (yy + offs)))
+    wxs = jnp.maximum(0.0, 1.0 - jnp.abs(sx - (xx + offs)))
 
     acc = jnp.zeros_like(x)
     for iy, dy in enumerate(range(-R, R + 1)):
         for ix, dx in enumerate(range(-R, R + 1)):
-            w = (wys[iy] * wxs[ix]).astype(x.dtype)  # (B, H, W)
-            wb = w.reshape((w.shape[0],) + (1,) * extra + (H, W, 1))
+            w = (wys[iy] * wxs[ix]).astype(x.dtype)  # (*lead, H, W)
+            wb = w.reshape(lead + (1,) * extra + (H, W, 1))
             sl = [slice(None)] * x.ndim
             sl[-3] = slice(P + dy, P + dy + H)
             sl[-2] = slice(P + dx, P + dx + W)
@@ -270,12 +294,17 @@ def _rotate_bilinear(x: Array, angle_deg: Array,
 def apply_augmentations(
     params: Dict[str, Array], clips: Array, noise_key: Array
 ) -> Array:
-    """Apply sampled per-clip params to (B, T, H, W, C) f32 clips in [0,1].
+    """Apply sampled params to (B, T, H, W, C) f32 clips in [0,1].
     Deterministic given (params, noise_key). Transform order matches the host
     pipeline: color, flip, noise, blur, [jpeg: host-only], letterbox,
-    overlay, rotation (reference dataset.py:259-353)."""
+    overlay, rotation (reference dataset.py:259-353). letterbox_bar /
+    letterbox_vertical / overlay_box / rotation_angle may be per-clip (B,)
+    or per-frame (B, T) — the reference's granularity (dataset.py:319-344);
+    gates and the other params are always per-clip (B,)."""
     B, T, H, W, C = clips.shape
     g = lambda name: params[name].reshape((B, 1, 1, 1, 1))  # noqa: E731
+    # frame-level broadcast: (B,) -> (B,1,1,1,1), (B,T) -> (B,T,1,1,1)
+    fb = lambda p: p.reshape(p.shape + (1,) * (5 - p.ndim))  # noqa: E731
 
     x = _color(clips, params)
     x = jnp.where(g("do_flip") > 0, x[:, :, :, ::-1, :], x)
@@ -286,18 +315,17 @@ def apply_augmentations(
     x = _blur(x, params["blur_idx"])
 
     # letterbox: vertical=True bars rows (top/bottom), else columns
-    bar = params["letterbox_bar"].reshape((B, 1, 1, 1, 1))
+    bar = fb(params["letterbox_bar"])
     rows = jnp.arange(H).reshape((1, 1, H, 1, 1))
     cols = jnp.arange(W).reshape((1, 1, 1, W, 1))
     row_bar = (rows < bar) | (rows >= H - bar)
     col_bar = (cols < bar) | (cols >= W - bar)
-    vert = params["letterbox_vertical"].reshape((B, 1, 1, 1, 1)) > 0
+    vert = fb(params["letterbox_vertical"]) > 0
     barred = jnp.where(vert, jnp.where(row_bar, 0.0, x), jnp.where(col_bar, 0.0, x))
     x = jnp.where(g("do_letterbox") > 0, barred, x)
 
     # white overlay rectangle, alpha 0.3
-    oy, ox, ohh, oww = [params["overlay_box"][:, i].reshape((B, 1, 1, 1, 1))
-                        for i in range(4)]
+    oy, ox, ohh, oww = [fb(params["overlay_box"][..., i]) for i in range(4)]
     in_box = ((rows >= oy) & (rows < oy + ohh) & (cols >= ox) & (cols < ox + oww))
     x = jnp.where(g("do_overlay") * in_box > 0, 0.7 * x + 0.3, x)
 
@@ -309,10 +337,13 @@ def apply_augmentations(
 def augment_clips(
     key: Array, clips: Array, mask: Optional[Array] = None
 ) -> Array:
-    """Convenience wrapper: sample params + apply. `mask` (B, T) re-zeroes
-    padded frames afterwards (contrast/letterbox/overlay move zeros)."""
+    """Convenience wrapper: sample params + apply. Samples letterbox /
+    overlay / rotation per frame like the reference (dataset.py:319-344).
+    `mask` (B, T) re-zeroes padded frames afterwards (contrast/letterbox/
+    overlay move zeros)."""
     k_params, k_noise = jax.random.split(key)
-    params = sample_params(k_params, clips.shape[0], clips.shape[2])
+    params = sample_params(k_params, clips.shape[0], clips.shape[2],
+                           num_frames=clips.shape[1])
     out = apply_augmentations(params, clips, k_noise)
     if mask is not None:
         out = out * mask[:, :, None, None, None].astype(out.dtype)
