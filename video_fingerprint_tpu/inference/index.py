@@ -55,7 +55,7 @@ class FingerprintIndex:
         self._device = device  # resolved lazily: load/save must not touch jax
         self._chunks: list[np.ndarray] = []
         self._meta: List[dict] = []
-        self._staged = None  # device-resident (N, dim) corpus
+        self._staged = None  # (bucket-padded device corpus, n_true) tuple
         self._staged_sharded = None  # (row-sharded device corpus, n) tuple
         self._dirty = False
 
@@ -131,14 +131,16 @@ class FingerprintIndex:
         return self._chunks[0]
 
     def _corpus(self):
+        """(device_array, n) staged PRE-PADDED to the search bucket, so
+        repeated searches skip topk_search's per-call O(N·D) pad copy
+        (ADVICE r3 low)."""
         if self._staged is None or self._dirty:
-            import jax
-            import jax.numpy as jnp
+            from video_fingerprint_tpu.ops.topk import stage_padded_corpus
 
             if not self._chunks:
                 raise ValueError("index is empty")
-            self._staged = jax.device_put(
-                jnp.asarray(self._flat_embeddings()), self.device
+            self._staged = stage_padded_corpus(
+                self._flat_embeddings(), self.device
             )
             self._dirty = False
         return self._staged
@@ -154,10 +156,12 @@ class FingerprintIndex:
         (ops/topk.py) — results are still exhaustive above the threshold.
 
         On a multi-device platform with a large corpus the search runs
-        corpus-sharded (ops/topk.py::sharded_topk_search, exact, per-device
-        memory O(N/d·D)) — same condition as the scanner's self-search. The
-        row-sharded staged corpus is cached like the single-device one, so
-        repeated queries against a static corpus upload it once."""
+        corpus-sharded (ops/topk.py::sharded_topk_search, per-device memory
+        O(N/d·D)) — same condition as the scanner's self-search, with the
+        same certified-approx auto selection and `exact_above` semantics as
+        the single-device branch. The row-sharded staged corpus is cached
+        like the single-device one, so repeated queries against a static
+        corpus upload it once."""
         import jax
         import jax.numpy as jnp
 
@@ -182,13 +186,14 @@ class FingerprintIndex:
                 self._dirty = False
             scores, idx = sharded_topk_search(
                 np.ascontiguousarray(queries, np.float32),
-                self._staged_sharded, k,
+                self._staged_sharded, k, exact_above=exact_above,
             )
             return np.asarray(scores), np.asarray(idx)
-        corpus = self._corpus()
+        corpus, n_true = self._corpus()
         q = jax.device_put(jnp.asarray(np.ascontiguousarray(queries, np.float32)),
                            self.device)
-        scores, idx = topk_search(q, corpus, k, exact_above=exact_above)
+        scores, idx = topk_search(q, corpus, k, exact_above=exact_above,
+                                  n_valid=n_true)
         return np.asarray(scores), np.asarray(idx)
 
     def save(self, path) -> None:

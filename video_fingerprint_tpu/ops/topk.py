@@ -26,6 +26,14 @@ The reference searches duplicates with either a full `np.dot` all-pairs matrix
     total, O(N/d·D) resident). Compiled programs are cached per
     (mesh, shapes, k), so repeated searches don't re-trace.
 
+  Both sharded paths support the same certified-approx selection as the
+  single-chip search (`method="certified"`, the TPU auto default once the
+  PER-SHARD sort width passes the 16k knee): each tile/shard runs
+  approx_max_k + the per-row exactness certificate, a row is certified iff
+  every tile it met certified it, and the failing rows are repaired by an
+  exact corpus-sharded pass — so multi-chip results keep exact (or, with
+  `exact_above`, grouping-complete) semantics at approx speed.
+
 Self-matches are NOT excluded (FAISS also returns them); the greedy grouping
 host-side handles that, exactly like the reference.
 """
@@ -165,10 +173,30 @@ def _scatter_fix(scores: Array, idx: Array, rows: Array,
             idx.at[rows].set(fix_i, mode="drop"))
 
 
+def stage_padded_corpus(corpus, device=None):
+    """Pad the corpus to its search bucket ONCE on host and place it on the
+    device. Returns (device_array, n_true); pass both to `topk_search`
+    (corpus=device_array, n_valid=n_true) so repeated searches against a
+    static corpus skip the per-call O(N·D) pad copy (ADVICE r3 low:
+    FingerprintIndex --against workloads re-searched a cached corpus but
+    paid jnp.concatenate each time)."""
+    import jax
+
+    corpus = np.asarray(corpus, np.float32)
+    n = corpus.shape[0]
+    n_pad = _bucket_rows(n)
+    if n_pad != n:
+        corpus = np.pad(corpus, ((0, n_pad - n), (0, 0)))
+    arr = jax.device_put(corpus, device) if device is not None else (
+        jnp.asarray(corpus))
+    return arr, n
+
+
 def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
                 precision=_SIM_PRECISION, method: str = "auto",
                 exact_above: Optional[float] = None,
-                recall_target: Optional[float] = None):
+                recall_target: Optional[float] = None,
+                n_valid: Optional[int] = None):
     """Inner-product k-NN: (M, D) queries x (N, D) corpus ->
     (scores (M, k), indices (M, k)).
 
@@ -198,7 +226,7 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     """
     if recall_target is None:
         recall_target = 0.99 if exact_above is None else 0.95
-    n = corpus.shape[0]
+    n = corpus.shape[0] if n_valid is None else int(n_valid)
     if method == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         method = ("certified" if on_tpu and n >= 16384 and k < n else "exact")
@@ -206,9 +234,16 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     # compiles per bucket (<=16 per octave, <=~6% pad waste), not per corpus
     # size — a growing library would otherwise trigger a fresh XLA compile
     # on every scan. Results are bit-identical to the unpadded search (pad
-    # columns can never enter a top-k or a certificate count).
+    # columns can never enter a top-k or a certificate count). Callers with
+    # a static corpus pass a `stage_padded_corpus` result via n_valid to
+    # skip this per-call pad copy.
     n_pad = _bucket_rows(n)
-    if n_pad != n:
+    if n_valid is not None:
+        if corpus.shape[0] != n_pad:
+            raise ValueError(
+                f"pre-padded corpus must have _bucket_rows({n})={n_pad} "
+                f"rows (use stage_padded_corpus), got {corpus.shape[0]}")
+    elif n_pad != n:
         corpus = jnp.concatenate(
             [jnp.asarray(corpus, jnp.float32),
              jnp.zeros((n_pad - n, corpus.shape[1]), jnp.float32)]
@@ -252,11 +287,37 @@ def topk_cosine(embeddings: Array, k: int, query_block: int = 1024,
 _RING_CACHE: dict = {}
 
 
+def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
+               thr: Optional[float]):
+    """Per-tile candidate selection shared by both sharded paths: exact
+    lax.top_k, or approx_max_k (TPU PartialReduce) + the same per-row
+    exactness certificate as `_certified_search`. Returns (s, j, ok); a row
+    with ok=True has candidates that are PROVABLY its exact local
+    top-local_k (strict) or complete above `thr` (thresholded) for THIS
+    tile — so the AND over tiles certifies the merged global result."""
+    if method != "certified":
+        s, j = jax.lax.top_k(sims, local_k)
+        return s, j, jnp.ones(sims.shape[:1], bool)
+    s, j = jax.lax.approx_max_k(sims, local_k, recall_target=recall)
+    s_k = s[:, local_k - 1]
+    strict = (jnp.sum(sims > s_k[:, None], axis=1)
+              == jnp.sum(s > s_k[:, None], axis=1))
+    if thr is None:
+        ok = strict
+    else:
+        n_thr = jnp.sum(sims >= thr, axis=1)
+        ok = ((n_thr == jnp.sum(s >= thr, axis=1))
+              & ((n_thr < local_k) | strict))
+    return s, j, ok
+
+
 def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
                kk: int, local_k: int, query_block: int,
-               precision=jax.lax.Precision.HIGH):
+               precision=jax.lax.Precision.HIGH, method: str = "exact",
+               recall: float = 0.95, thr: Optional[float] = None):
     """Build (or fetch) the compiled ring-top-k program for these shapes."""
-    key = (mesh, axis_name, n_pad, dim, kk, local_k, query_block, precision)
+    key = (mesh, axis_name, n_pad, dim, kk, local_k, query_block, precision,
+           method, recall, thr)
     if key in _RING_CACHE:
         return _RING_CACHE[key]
 
@@ -271,7 +332,7 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
         q_blocks = shard.reshape(shard_rows // query_block, query_block, dim)
 
         def step(t, carry):
-            scores, idx, tile = carry
+            scores, idx, ok, tile = carry
             # after t rotations (i -> i+1) this device holds the tile that
             # started on device (my - t) mod d.
             offset = ((my - t) % d) * shard_rows
@@ -285,10 +346,10 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
                     preferred_element_type=jnp.float32,
                 )
                 sims = jnp.where(col_valid[None, :], sims, _NEG)
-                s, j = jax.lax.top_k(sims, local_k)
-                return s, col_idx[j]
+                s, j, row_ok = _tile_topk(sims, local_k, method, recall, thr)
+                return s, col_idx[j], row_ok
 
-            s_new, i_new = jax.lax.map(block_fn, q_blocks)
+            s_new, i_new, ok_new = jax.lax.map(block_fn, q_blocks)
             s_cat = jnp.concatenate(
                 [scores, s_new.reshape(shard_rows, local_k)], axis=1
             )
@@ -298,15 +359,16 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
             s_top, pos = jax.lax.top_k(s_cat, kk)
             i_top = jnp.take_along_axis(i_cat, pos, axis=1)
             tile = jax.lax.ppermute(tile, axis_name, perm)
-            return (s_top, i_top, tile)
+            return (s_top, i_top, ok & ok_new.reshape(shard_rows), tile)
 
         init = (
             jnp.full((shard_rows, kk), _NEG, jnp.float32),
             jnp.zeros((shard_rows, kk), jnp.int32),
+            jnp.ones((shard_rows,), bool),
             shard,
         )
-        scores, idx, _ = jax.lax.fori_loop(0, d, step, init)
-        return scores, idx
+        scores, idx, ok, _ = jax.lax.fori_loop(0, d, step, init)
+        return scores, idx, ok
 
     from jax import shard_map
 
@@ -314,11 +376,29 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
         local_fn,
         mesh=mesh,
         in_specs=(P(axis_name, None), P()),
-        out_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name)),
         check_vma=False,
     ))
     _RING_CACHE[key] = fn
     return fn
+
+
+def _resolve_sharded_method(method: str, shard_rows: int, local_k: int,
+                            exact_above, recall_target):
+    """Shared auto rule: certified when the PER-SHARD sort width is large
+    enough for the sort to dominate (same 16k knee as topk_search — the
+    certificate trick only pays when lax.top_k over the tile is the
+    bottleneck) and we're on a TPU backend."""
+    if recall_target is None:
+        recall_target = 0.99 if exact_above is None else 0.95
+    if method == "auto":
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        method = ("certified"
+                  if on_tpu and shard_rows >= 16384 and local_k < shard_rows
+                  else "exact")
+    if method not in ("exact", "certified"):
+        raise ValueError(f"unknown top-k method {method!r}")
+    return method, recall_target
 
 
 def sharded_topk_cosine(
@@ -328,6 +408,9 @@ def sharded_topk_cosine(
     axis_name: str = "corpus",
     query_block: int = 1024,
     precision=jax.lax.Precision.HIGH,
+    method: str = "auto",
+    exact_above: Optional[float] = None,
+    recall_target: Optional[float] = None,
 ):
     """Ring-sharded top-k over a device mesh (BASELINE config #5).
 
@@ -336,6 +419,15 @@ def sharded_topk_cosine(
     top-k for its own query rows. Padded rows are masked to -inf so they can
     never enter a top-k. Returns (scores (N,k), indices (N,k)) in global
     corpus coordinates.
+
+    method="certified" (the TPU auto default at scale) runs each ring step's
+    tile selection as approx_max_k + the per-(row, tile) exactness
+    certificate from `topk_search`; a row is certified iff EVERY tile it met
+    was certified, and the few failing rows are repaired by an exact
+    corpus-sharded pass over the already-resident ring corpus — results stay
+    exact (strict) / grouping-complete (`exact_above` set) at approx speed,
+    now on the multi-chip path too. Reference workload:
+    fingerprint.py:515-548.
     """
     if mesh is None:
         from video_fingerprint_tpu.parallel.mesh import make_mesh
@@ -351,10 +443,30 @@ def sharded_topk_cosine(
 
     local_k = min(k, shard_rows)
     kk = min(k, d * local_k)
+    method, recall_target = _resolve_sharded_method(
+        method, shard_rows, local_k, exact_above, recall_target)
     fn = _ring_topk(mesh, axis_name, n_pad, dim, kk, local_k, query_block,
-                    precision)
-    scores, idx = fn(corpus, jnp.asarray(n, jnp.int32))
-    return scores[:n], idx[:n]
+                    precision, method=method, recall=recall_target,
+                    thr=exact_above)
+    scores, idx, ok = fn(corpus, jnp.asarray(n, jnp.int32))
+    scores, idx = scores[:n], idx[:n]
+    if method == "certified":
+        bad = np.flatnonzero(~np.asarray(ok)[:n])
+        if bad.size:
+            # exact repair against the ring's own padded corpus, row-sharded
+            # in place (device_put with the matching sharding is a no-op for
+            # the already-placed output-committed array).
+            from jax.sharding import NamedSharding
+
+            staged = (jax.device_put(
+                corpus, NamedSharding(mesh, P(axis_name, None))), n)
+            fix_s, fix_i = sharded_topk_search(
+                np.asarray(embeddings, np.float32)[bad], staged, kk,
+                mesh=mesh, axis_name=axis_name, query_block=query_block,
+                precision=precision, method="exact")
+            scores = scores.at[bad].set(fix_s)
+            idx = idx.at[bad].set(fix_i)
+    return scores, idx
 
 
 _SHARDED_SEARCH_CACHE: dict = {}
@@ -388,6 +500,9 @@ def sharded_topk_search(
     axis_name: str = "corpus",
     query_block: int = 1024,
     precision=jax.lax.Precision.HIGH,
+    method: str = "auto",
+    exact_above: Optional[float] = None,
+    recall_target: Optional[float] = None,
 ):
     """Corpus-sharded query-vs-corpus k-NN (the `--against` /
     `FingerprintIndex.search` workload past one chip's HBM; complements
@@ -398,10 +513,17 @@ def sharded_topk_search(
     column ids (shard offset from `axis_index`), the per-device candidate
     lists concatenate along the sharded output axis — an all-gather of
     O(M·k_local·d) scores+ids, never the corpus — and one final `lax.top_k`
-    merges. Per-device memory O(N/d·D + M·k); exact (single-stage
-    `lax.top_k` per shard). Returns (scores (M, k), indices (M, k)) in
-    corpus coordinates, identical to `topk_search(method="exact")`.
-    Reference workload: fingerprint.py:515-548 (FAISS query path).
+    merges. Per-device memory O(N/d·D + M·k). Returns
+    (scores (M, k), indices (M, k)) in corpus coordinates, identical to
+    `topk_search(method="exact")`. Reference workload:
+    fingerprint.py:515-548 (FAISS query path).
+
+    method="certified" (the TPU auto default once the per-shard width passes
+    the sort knee) replaces each shard's lax.top_k with approx_max_k + the
+    per-row exactness certificate from `topk_search`; a row is certified iff
+    every shard certified it, and failing rows are repaired by an exact pass
+    over the SAME staged corpus — results stay exact (or, with
+    `exact_above`, grouping-complete above that threshold) at approx speed.
 
     `corpus` may be an (N, D) host array (staged row-sharded via
     `stage_sharded_corpus` — the full matrix never lands on one device) or
@@ -430,8 +552,11 @@ def sharded_topk_search(
                   int(2 ** np.ceil(np.log2(max(m, 8)))))
     q_pad, m_pad = _pad_rows(jnp.asarray(queries, jnp.float32), q_block)
     local_k = min(k, shard_rows)
+    method, recall_target = _resolve_sharded_method(
+        method, shard_rows, local_k, exact_above, recall_target)
 
-    key = (mesh, axis_name, m_pad, n_pad, dim, k, local_k, q_block, precision)
+    key = (mesh, axis_name, m_pad, n_pad, dim, k, local_k, q_block, precision,
+           method, recall_target, exact_above)
     fn = _SHARDED_SEARCH_CACHE.get(key)
     if fn is None:
         def local_fn(q, shard, n_valid):
@@ -445,11 +570,13 @@ def sharded_topk_search(
                 sims = jnp.dot(qb, shard.T, precision=precision,
                                preferred_element_type=jnp.float32)
                 sims = jnp.where(col_valid[None, :], sims, _NEG)
-                s, j = jax.lax.top_k(sims, local_k)
-                return s, col_idx[j]
+                s, j, row_ok = _tile_topk(sims, local_k, method,
+                                          recall_target, exact_above)
+                return s, col_idx[j], row_ok
 
-            s, i = jax.lax.map(block_fn, q_blocks)
-            return s.reshape(m_pad, local_k), i.reshape(m_pad, local_k)
+            s, i, ok = jax.lax.map(block_fn, q_blocks)
+            return (s.reshape(m_pad, local_k), i.reshape(m_pad, local_k),
+                    ok.reshape(m_pad, 1))
 
         from jax import shard_map
 
@@ -457,15 +584,27 @@ def sharded_topk_search(
             local_fn,
             mesh=mesh,
             in_specs=(P(), P(axis_name, None), P()),
-            out_specs=(P(None, axis_name), P(None, axis_name)),
+            out_specs=(P(None, axis_name), P(None, axis_name),
+                       P(None, axis_name)),
             check_vma=False,
         ))
 
         def fn(q, c, n_valid):
-            s_all, i_all = inner(q, c, n_valid)  # (m_pad, d*local_k)
+            s_all, i_all, ok_all = inner(q, c, n_valid)  # (m_pad, d*local_k)
             s_top, pos = jax.lax.top_k(s_all, min(k, d * local_k))
-            return s_top, jnp.take_along_axis(i_all, pos, axis=1)
+            return (s_top, jnp.take_along_axis(i_all, pos, axis=1),
+                    ok_all.all(axis=1))
 
         _SHARDED_SEARCH_CACHE[key] = fn
-    scores, idx = fn(q_pad, corpus_pad, jnp.asarray(n, jnp.int32))
-    return scores[:m], idx[:m]
+    scores, idx, ok = fn(q_pad, corpus_pad, jnp.asarray(n, jnp.int32))
+    scores, idx = scores[:m], idx[:m]
+    if method == "certified":
+        bad = np.flatnonzero(~np.asarray(ok)[:m])
+        if bad.size:
+            fix_s, fix_i = sharded_topk_search(
+                np.asarray(queries, np.float32)[bad], (corpus_pad, n),
+                k, mesh=mesh, axis_name=axis_name, query_block=query_block,
+                precision=precision, method="exact")
+            scores = scores.at[bad].set(fix_s)
+            idx = idx.at[bad].set(fix_i)
+    return scores, idx
