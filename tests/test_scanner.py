@@ -288,6 +288,50 @@ def test_index_merge_and_query_against_cli(ckpt_path, corpus, tmp_path, capsys):
     assert len(pruned) == 7  # 6 from A (still on disk) + fresh.mp4
 
 
+def test_index_prune_scoped_to_scan_root(ckpt_path, corpus, tmp_path):
+    """Pruning is scoped to the scanned root (ADVICE r3 medium): a scan of
+    library B cannot attest deletions in library A, so an A entry whose
+    file is missing (deleted — or a temporarily unmounted share) survives a
+    B scan and is only pruned by a rescan of A itself. --no_prune keeps
+    even in-root deleted entries."""
+    import shutil
+
+    from video_fingerprint_tpu.cli.scan import main
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    d, _ = corpus
+    lib_a = tmp_path / "lib_a"
+    lib_a.mkdir()
+    shutil.copy(sorted(d.glob("video_0.mp4"))[0], lib_a / "a0.mp4")
+    shutil.copy(sorted(d.glob("video_1.mp4"))[0], lib_a / "a1.mp4")
+    lib_b = tmp_path / "lib_b"
+    lib_b.mkdir()
+    shutil.copy(sorted(d.glob("video_2.mp4"))[0], lib_b / "b0.mp4")
+
+    idx = tmp_path / "shared.npz"
+    base = ["--model", ckpt_path, "--device", "cpu", "--workers", "2",
+            "--batch", "4", "--index", str(idx)]
+    assert main(base + ["--scan", str(lib_a)]) == 0
+    (lib_a / "a1.mp4").unlink()  # A loses a file (or the mount drops)
+
+    # a B scan must NOT prune A's now-missing entry (outside B's root)
+    assert main(base + ["--scan", str(lib_b)]) == 0
+    fps = FingerprintIndex.load(idx).fingerprints()
+    assert str(lib_a / "a1.mp4") in fps
+    assert len(fps) == 3
+
+    # a rescan of A with --no_prune keeps it too
+    assert main(base + ["--scan", str(lib_a), "--no_prune"]) == 0
+    assert str(lib_a / "a1.mp4") in FingerprintIndex.load(idx).fingerprints()
+
+    # only a plain rescan of A itself attests the deletion
+    assert main(base + ["--scan", str(lib_a)]) == 0
+    fps = FingerprintIndex.load(idx).fingerprints()
+    assert str(lib_a / "a1.mp4") not in fps
+    assert str(lib_b / "b0.mp4") in fps  # B untouched by the A scan
+    assert len(fps) == 2
+
+
 def test_query_against_rejects_foreign_index(scanner, corpus, tmp_path):
     """--against with an index from a different model must fail loudly."""
     from video_fingerprint_tpu.inference.index import FingerprintIndex

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "a previous --index scan) and report "
                              "cross-duplicates instead of duplicates within "
                              "the scanned folder")
+    parser.add_argument("--no_prune", action="store_true",
+                        help="Keep index entries for files that are missing "
+                             "on disk (shared/networked indexes where a "
+                             "mount may be temporarily absent)")
     return parser
 
 
@@ -146,14 +150,27 @@ def main(argv=None) -> int:
         # survive (shared index across libraries); rescans win on conflict.
         # Prior entries whose file no longer exists on disk are pruned —
         # a deleted video's stale path would otherwise keep matching in
-        # future --against / grouping runs forever. Only ABSOLUTE paths are
-        # pruned: a relative key from a scan run in another cwd (or a file
-        # on a temporarily unmounted drive at an absolute path we cannot
-        # distinguish — accepted residual risk) must not be destroyed just
-        # because it is invisible from here.
+        # future --against / grouping runs forever — but ONLY within the
+        # scanned root: this scan can attest deletions only inside its own
+        # directory. An entry from another library (or a temporarily
+        # unmounted share) being invisible from here proves nothing, so it
+        # is kept; relative keys from a scan run in another cwd are likewise
+        # never pruned. --no_prune disables pruning entirely.
+        scan_root = video_dir.resolve()
+
+        def _under_scan_root(p: str) -> bool:
+            try:
+                return Path(p).resolve().is_relative_to(scan_root)
+            except (OSError, ValueError):
+                return False
+
         kept_prior = {
             p: fp for p, fp in (cache or {}).items()
-            if p in fingerprints or not Path(p).is_absolute() or Path(p).exists()
+            if p in fingerprints
+            or args.no_prune
+            or not Path(p).is_absolute()
+            or not _under_scan_root(p)
+            or Path(p).exists()
         }
         pruned = len(cache or {}) - len(kept_prior)
         if pruned:

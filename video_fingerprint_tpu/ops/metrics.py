@@ -333,7 +333,10 @@ def streaming_validation_metrics(
     kmax = min(max(k_values), n - 1)
     # positives per row (incl. self) = the row's group size; pad to a bucket
     # so pmax doesn't recompile per corpus
-    group_max = int(np.bincount(ids.astype(np.int64)).max()) if n else 1
+    # unique+counts, NOT bincount: ids are dataset-provided and need not be
+    # dense or non-negative (hash-derived ids would make bincount allocate
+    # max(id)+1 counters or raise)
+    group_max = int(np.unique(ids, return_counts=True)[1].max()) if n else 1
     pmax = 0 if group_max > 256 else min(
         n, int(2 ** int(np.ceil(np.log2(max(group_max, 4)))))
     )  # clamp to n: top_k over an n-wide axis cannot take k > n
