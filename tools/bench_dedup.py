@@ -29,6 +29,18 @@ def main() -> int:
     parser.add_argument("--baseline_n", type=int, default=4000,
                         help="corpus size for the host-numpy baseline "
                              "(full N^2 on host would not fit)")
+    parser.add_argument("--method", default="auto",
+                        choices=["auto", "exact", "certified"],
+                        help="top-k selection (ops/topk.py); measure the "
+                             "certified-vs-exact uplift by running both")
+    parser.add_argument("--exact_above", type=float, default=None,
+                        help="duplicate threshold for the relaxed "
+                             "certificate (grouping-complete above it)")
+    parser.add_argument("--ring", action="store_true",
+                        help="force the ring-sharded path (sharded_topk_"
+                             "cosine) even on one device — times the "
+                             "multi-chip program's per-device work")
+    parser.add_argument("--reps", type=int, default=5)
     args = parser.parse_args()
 
     if args.cpu:
@@ -37,6 +49,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     import jax
+    from functools import partial
 
     from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
 
@@ -44,18 +57,20 @@ def main() -> int:
     e = rng.normal(size=(args.n, args.dim)).astype(np.float32)
     e /= np.linalg.norm(e, axis=1, keepdims=True)
 
-    multi = len(jax.devices()) > 1
-    fn = sharded_topk_cosine if multi else topk_cosine
+    multi = len(jax.devices()) > 1 or args.ring
+    fn = partial(
+        sharded_topk_cosine if multi else topk_cosine,
+        method=args.method, exact_above=args.exact_above,
+    )
 
     e_host = e  # the host-numpy baseline must stay on host
-    if not multi:
-        # stage the corpus in HBM once — the production scanner's embeddings
-        # already live on device; re-uploading ~100MB per timed call would
-        # measure the host link, not the search. (The multi-device path
-        # shards/pads internally and is timed upload-inclusive — its
-        # correctness leg lives in dryrun_multichip; this tool's headline is
-        # the single-chip number.)
-        e = jax.device_put(e, jax.devices()[0])
+    # stage the corpus in HBM once — the production scanner's embeddings
+    # already live on device; re-uploading ~100MB+ per timed call would
+    # measure the host link, not the search (measured: un-staged ring legs
+    # at 100k flatten to ~17.5k q/s regardless of method because the ~3s
+    # tunnel upload dominates). The ring path re-pads/shards from the
+    # staged array in-graph, which is the production placement too.
+    e = jax.device_put(e, jax.devices()[0])
 
     def sync(s, i):
         # block_until_ready is unreliable on the experimental axon backend
@@ -70,7 +85,7 @@ def main() -> int:
     warm = time.perf_counter() - t0
 
     times = []
-    for _ in range(5):
+    for _ in range(args.reps):
         t0 = time.perf_counter()
         sync(*fn(e, args.k))
         times.append(time.perf_counter() - t0)
@@ -94,11 +109,13 @@ def main() -> int:
         "unit": "queries/sec",
         "vs_baseline": round(qps / baseline_qps_at_n, 2),
         "warmup_s": round(warm, 2),
-        # single-chip default is the certified-approx path (exact results
-        # via approx_max_k + certificate + repair, ops/topk.py); the sharded
-        # path is exact single-stage top-k.
-        "config": ("ring-sharded exact top-k" if multi
-                   else "certified approx_max_k (exact results), HIGH matmul"),
+        # both paths share the same selection methods (ops/topk.py): auto =
+        # certified approx_max_k + per-tile certificate + exact repair on
+        # TPU past the 16k per-shard sort knee, exact otherwise.
+        "method": args.method,
+        "exact_above": args.exact_above,
+        "config": (("ring-sharded" if multi else "single chip")
+                   + f" top-k, method={args.method}, HIGH matmul"),
     }))
     return 0
 

@@ -55,7 +55,9 @@ def main():
     clips = jax.device_put(
         rng.random((B, T, HW, HW, 3), np.float32), dev)
     key = jax.random.PRNGKey(0)
-    params = jax.jit(partial(da.sample_params, batch=B, frame_size=HW))(key)
+    # per-frame letterbox/overlay/rotation params, the production shape
+    params = jax.jit(partial(da.sample_params, batch=B, frame_size=HW,
+                             num_frames=T))(key)
     params = jax.device_put(jax.tree.map(np.asarray, params), dev)
 
     def staged(fn):
@@ -105,17 +107,18 @@ def _letterbox_overlay(jnp, params, x):
     B = x.shape[0]
     H, W = x.shape[2], x.shape[3]
     g = lambda name: params[name].reshape((B, 1, 1, 1, 1))  # noqa: E731
-    bar = params["letterbox_bar"].reshape((B, 1, 1, 1, 1))
+    # (B,) or per-frame (B, T) params, like ops/device_augment
+    fb = lambda p: p.reshape(p.shape + (1,) * (5 - p.ndim))  # noqa: E731
+    bar = fb(params["letterbox_bar"])
     rows = jnp.arange(H).reshape((1, 1, H, 1, 1))
     cols = jnp.arange(W).reshape((1, 1, 1, W, 1))
     row_bar = (rows < bar) | (rows >= H - bar)
     col_bar = (cols < bar) | (cols >= W - bar)
-    vert = params["letterbox_vertical"].reshape((B, 1, 1, 1, 1)) > 0
+    vert = fb(params["letterbox_vertical"]) > 0
     barred = jnp.where(vert, jnp.where(row_bar, 0.0, x),
                        jnp.where(col_bar, 0.0, x))
     x = jnp.where(g("do_letterbox") > 0, barred, x)
-    oy, ox, ohh, oww = [params["overlay_box"][:, i].reshape((B, 1, 1, 1, 1))
-                        for i in range(4)]
+    oy, ox, ohh, oww = [fb(params["overlay_box"][..., i]) for i in range(4)]
     in_box = ((rows >= oy) & (rows < oy + ohh)
               & (cols >= ox) & (cols < ox + oww))
     return jnp.where(g("do_overlay") * in_box > 0, 0.7 * x + 0.3, x)
