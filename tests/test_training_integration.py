@@ -122,6 +122,13 @@ def test_model_selection_gap_tiebreak():
     assert is_new_best(1.0, 0.25, 1.0, 0.2)  # gap tiebreak
     assert not is_new_best(1.0, 0.25, 1.0, 0.25)
     assert not is_new_best(1.0, 0.1, 1.0, 0.25)
+    # NEAR-flat AUC (within flat_eps): saturated metrics jitter at the 1e-4
+    # level (measured 0.99983 -> 0.99981 in runs/traj_r4_3dhard while the
+    # gap rose 0.31 -> 0.38) — the tiebreak must still fire
+    assert is_new_best(0.99981, 0.38, 0.99983, 0.31)
+    assert not is_new_best(0.99981, 0.30, 0.99983, 0.31)
+    # a genuine AUC regression (beyond flat_eps) never wins on gap
+    assert not is_new_best(0.95, 0.9, 0.99983, 0.31)
 
 
 def test_hard_corpus_has_cross_video_near_duplicates(tmp_path):
