@@ -106,3 +106,37 @@ def test_greedy_no_revisit(scanner_cls):
     groups = scanner_cls.find_duplicates(fingerprints, similarity_threshold=0.5)
     seen = [i["path"] for g in groups for i in g]
     assert len(seen) == len(set(seen))
+
+
+def test_grouping_sharded_branch_matches_direct(scanner_cls):
+    """On a multi-device platform with n >= 8*devices, find_duplicates
+    routes through the corpus-sharded ring search with the grouping
+    threshold threaded as the certified exact_above — groups must equal
+    the direct all-pairs path."""
+    import jax
+
+    assert len(jax.devices()) == 8  # conftest mesh
+    rng = np.random.default_rng(3)
+    D, n = 64, 80  # n >= 8 * devices: forces the sharded branch
+    base = np.linalg.qr(rng.normal(size=(n, n)))[0][:, :D].astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 3 near-duplicate pairs among near-orthogonal rows
+    for a, b in ((0, 1), (10, 11), (20, 21)):
+        base[b] = 0.98 * base[a] + np.sqrt(1 - 0.98**2) * base[b]
+        base[b] /= np.linalg.norm(base[b])
+    fingerprints = {
+        f"/videos/s{i}.mp4": {
+            "embedding": base[i], "path": f"/videos/s{i}.mp4",
+            "name": f"s{i}.mp4", "size": 1000 + i,
+            "file_hash": f"hash{i}", "embedding_norm": 1.0,
+        }
+        for i in range(n)
+    }
+    direct = scanner_cls.find_duplicates(
+        fingerprints, similarity_threshold=0.95, topk_threshold=10**9)
+    sharded = scanner_cls.find_duplicates(
+        fingerprints, similarity_threshold=0.95, topk_threshold=0)
+    names = lambda gs: sorted(tuple(sorted(i["name"] for i in g)) for g in gs)
+    assert names(direct) == names(sharded)
+    assert names(direct) == [("s0.mp4", "s1.mp4"), ("s10.mp4", "s11.mp4"),
+                             ("s20.mp4", "s21.mp4")]

@@ -331,8 +331,7 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
         my = jax.lax.axis_index(axis_name)
         q_blocks = shard.reshape(shard_rows // query_block, query_block, dim)
 
-        def step(t, carry):
-            scores, idx, ok, tile = carry
+        def tile_topk(t, tile):
             # after t rotations (i -> i+1) this device holds the tile that
             # started on device (my - t) mod d.
             offset = ((my - t) % d) * shard_rows
@@ -349,25 +348,35 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
                 s, j, row_ok = _tile_topk(sims, local_k, method, recall, thr)
                 return s, col_idx[j], row_ok
 
-            s_new, i_new, ok_new = jax.lax.map(block_fn, q_blocks)
-            s_cat = jnp.concatenate(
-                [scores, s_new.reshape(shard_rows, local_k)], axis=1
-            )
-            i_cat = jnp.concatenate(
-                [idx, i_new.reshape(shard_rows, local_k)], axis=1
-            )
+            s, i, ok = jax.lax.map(block_fn, q_blocks)
+            return (s.reshape(shard_rows, local_k),
+                    i.reshape(shard_rows, local_k),
+                    ok.reshape(shard_rows))
+
+        # step 0 unrolled: seed the running top-k from the resident tile
+        # instead of merging against a -inf carry — that merge is a pure
+        # (shard_rows, kk+local_k) top_k pass of overhead, and at d=1 it
+        # was the whole gap between the ring and single-chip rates.
+        s0, i0, ok0 = tile_topk(0, shard)
+        if kk > local_k:  # k > shard_rows: widen the carry with -inf slots
+            s0 = jnp.pad(s0, ((0, 0), (0, kk - local_k)),
+                         constant_values=_NEG)
+            i0 = jnp.pad(i0, ((0, 0), (0, kk - local_k)))
+        if d == 1:
+            return s0, i0, ok0
+
+        def step(t, carry):
+            scores, idx, ok, tile = carry
+            s_new, i_new, ok_new = tile_topk(t, tile)
+            s_cat = jnp.concatenate([scores, s_new], axis=1)
+            i_cat = jnp.concatenate([idx, i_new], axis=1)
             s_top, pos = jax.lax.top_k(s_cat, kk)
             i_top = jnp.take_along_axis(i_cat, pos, axis=1)
             tile = jax.lax.ppermute(tile, axis_name, perm)
-            return (s_top, i_top, ok & ok_new.reshape(shard_rows), tile)
+            return (s_top, i_top, ok & ok_new, tile)
 
-        init = (
-            jnp.full((shard_rows, kk), _NEG, jnp.float32),
-            jnp.zeros((shard_rows, kk), jnp.int32),
-            jnp.ones((shard_rows,), bool),
-            shard,
-        )
-        scores, idx, ok, _ = jax.lax.fori_loop(0, d, step, init)
+        init = (s0, i0, ok0, jax.lax.ppermute(shard, axis_name, perm))
+        scores, idx, ok, _ = jax.lax.fori_loop(1, d, step, init)
         return scores, idx, ok
 
     from jax import shard_map
