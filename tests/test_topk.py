@@ -340,3 +340,184 @@ def test_fingerprint_index_api(tmp_path, embeddings):
         FingerprintIndex(dim=64).search(queries, k=5)  # empty index
     with _pytest.raises(ValueError):
         index.add(np.zeros((3, 7), np.float32))  # wrong dim
+
+
+# ---------------------------------------------------------------------------
+# certified-bf16: single-pass first stage + widened threshold certificate
+# ---------------------------------------------------------------------------
+
+
+def test_bf16_dot_eps_bound_is_rigorous():
+    """_BF16_DOT_EPS must dominate the worst observed single-pass bf16 error
+    on unit-norm vectors: round both operands to bf16, accumulate in f32
+    (what Precision.DEFAULT does on TPU), compare against the f64 truth."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import _BF16_DOT_EPS
+
+    rng = np.random.default_rng(7)
+    for dim in (64, 256, 1024):
+        x = rng.normal(size=(512, dim))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        y = rng.normal(size=(512, dim))
+        y /= np.linalg.norm(y, axis=1, keepdims=True)
+        truth = x @ y.T  # f64
+        xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+        yq = np.asarray(jnp.asarray(y, jnp.bfloat16), np.float32)
+        noisy = xq @ yq.T  # f32 accumulation of bf16-rounded inputs
+        err = float(np.abs(noisy - truth).max())
+        assert err < _BF16_DOT_EPS, (dim, err)
+        # the bound should not be vacuous: random pairs already get within
+        # ~10x of it (adversarially-aligned operands get closer)
+        if dim == 256:
+            assert err > _BF16_DOT_EPS / 32
+
+
+def test_certified_bf16_threshold_complete():
+    """method='certified-bf16' keeps the thresholded-completeness contract
+    and returns HIGH-rescored scores (== true sims at the returned ids)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.exp_topk_precision import make_corpus
+    from video_fingerprint_tpu.ops.topk import topk_cosine
+
+    e = make_corpus(600, 64, seed=3)
+    k, thr = 20, 0.95
+    s, i = topk_cosine(e, k, query_block=128, method="certified-bf16",
+                       exact_above=thr)
+    s, i = np.asarray(s), np.asarray(i)
+    sims = e @ e.T
+    for row in range(len(e)):
+        want = set(np.flatnonzero(sims[row] >= thr).tolist())
+        if len(want) >= k:
+            # truncated rows fail the widened certificate and are repaired
+            # exactly: their scores must be the true top-k multiset
+            top = np.sort(sims[row])[::-1][:k]
+            np.testing.assert_allclose(np.sort(s[row])[::-1], top, atol=1e-5)
+        else:
+            got = {int(j) for ss, j in zip(s[row], i[row]) if ss >= thr - 1e-5}
+            assert want <= got, (row, want - got)
+    # reported scores are the actual similarities at the returned indices
+    # (rescored at HIGH), wherever the slot is not -inf padding
+    chosen = np.take_along_axis(sims, i, axis=1)
+    live = np.isfinite(s)
+    np.testing.assert_allclose(s[live], chosen[live], atol=1e-5)
+    # rows are sorted descending after the rescore
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_certified_bf16_widens_certificate():
+    """Items whose similarity falls inside (thr - eps, thr) — invisible to a
+    thr-exact count but reachable by bf16 noise — must be counted by the
+    widened certificate: a row with >= k such items cannot self-certify."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import (_BF16_DOT_EPS,
+                                                _certified_search)
+
+    rng = np.random.default_rng(11)
+    dim, thr = 64, 0.95
+    base = rng.normal(size=dim)
+    base /= np.linalg.norm(base)
+    # 30 vectors at cosine ~ thr - eps/2: above thr-eps, below thr
+    target = thr - _BF16_DOT_EPS / 2
+    others = []
+    for _ in range(30):
+        noise = rng.normal(size=dim)
+        noise -= (noise @ base) * base
+        noise /= np.linalg.norm(noise)
+        others.append(target * base + np.sqrt(1 - target**2) * noise)
+    corpus = np.asarray([base] + others, np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    k = 8  # << 30 in-band items
+    _, _, ok = _certified_search(
+        jnp.asarray(corpus[:1]), jnp.asarray(corpus),
+        jnp.asarray(len(corpus), jnp.int32), k, query_block=8,
+        recall=0.95, thr=thr, lowp=True)
+    assert not bool(np.asarray(ok)[0])  # must be sent to exact repair
+    # sanity: the thr-exact count sees only the self-match, i.e. without the
+    # widening this row would (wrongly) self-certify
+    sims = corpus[:1] @ corpus.T
+    assert (sims >= thr).sum() == 1 and (sims >= thr - _BF16_DOT_EPS).sum() > k
+
+
+def test_certified_bf16_requires_threshold():
+    import pytest as _pytest
+    from video_fingerprint_tpu.ops.topk import topk_cosine
+
+    e = np.eye(8, 16, dtype=np.float32)
+    with _pytest.raises(ValueError, match="exact_above"):
+        topk_cosine(e, 2, method="certified-bf16")
+
+
+def test_rescore_topk_sorts_and_keeps_neginf():
+    from video_fingerprint_tpu.ops.topk import _SIM_PRECISION, _rescore_topk
+
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(37, 16)).astype(np.float32)
+    corpus = rng.normal(size=(50, 16)).astype(np.float32)
+    k = 6
+    idx = np.stack([rng.choice(50, size=k, replace=False) for _ in range(37)])
+    scores = (q[:, None, :] * corpus[idx]).sum(-1).astype(np.float32)
+    # mark the last slot of every odd row as padding
+    scores[1::2, -1] = -np.inf
+    s2, i2 = _rescore_topk(q, corpus, scores, idx.astype(np.int32), block=16,
+                           precision=_SIM_PRECISION)
+    s2, i2 = np.asarray(s2), np.asarray(i2)
+    assert (np.diff(s2, axis=1) <= 1e-6).all()
+    assert np.isneginf(s2[1::2, -1]).all()
+    live = np.isfinite(s2)
+    true = (q[:, None, :] * corpus[i2]).sum(-1)
+    np.testing.assert_allclose(s2[live], true[live], rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_certified_bf16_threshold_complete():
+    """Both sharded paths accept method='certified-bf16': per-tile widened
+    certificate + resident-tile HIGH rescore + exact repair; results stay
+    candidate-complete above thr with HIGH-contract scores, on the 8-device
+    CPU mesh."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.exp_topk_precision import make_corpus
+    from video_fingerprint_tpu.ops.topk import (sharded_topk_cosine,
+                                                sharded_topk_search)
+
+    e = make_corpus(640, 64, seed=3)
+    k, thr = 20, 0.95
+    sims = e @ e.T
+
+    def check(s, i, queries_sims):
+        s, i = np.asarray(s), np.asarray(i)
+        for row in range(len(s)):
+            want = set(np.flatnonzero(queries_sims[row] >= thr).tolist())
+            if len(want) >= k:
+                top = np.sort(queries_sims[row])[::-1][:k]
+                np.testing.assert_allclose(np.sort(s[row])[::-1], top,
+                                           atol=1e-5)
+            else:
+                got = {int(j) for ss, j in zip(s[row], i[row])
+                       if ss >= thr - 1e-5}
+                assert want <= got, (row, want - got)
+        chosen = np.take_along_axis(queries_sims, i, axis=1)
+        live = np.isfinite(s)
+        np.testing.assert_allclose(s[live], chosen[live], atol=1e-5)
+
+    s, i = sharded_topk_cosine(e, k, method="certified-bf16",
+                               exact_above=thr, recall_target=0.7)
+    check(s, i, sims)
+
+    q = e[:64]
+    s, i = sharded_topk_search(q, e, k, method="certified-bf16",
+                               exact_above=thr, recall_target=0.7)
+    check(s, i, sims[:64])
+
+
+def test_sharded_certified_bf16_requires_threshold():
+    import pytest as _pytest
+    from video_fingerprint_tpu.ops.topk import sharded_topk_cosine
+
+    e = np.eye(16, 32, dtype=np.float32)
+    with _pytest.raises(ValueError, match="exact_above"):
+        sharded_topk_cosine(e, 4, method="certified-bf16")

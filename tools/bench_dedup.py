@@ -30,9 +30,20 @@ def main() -> int:
                         help="corpus size for the host-numpy baseline "
                              "(full N^2 on host would not fit)")
     parser.add_argument("--method", default="auto",
-                        choices=["auto", "exact", "certified"],
+                        choices=["auto", "exact", "certified",
+                                 "certified-bf16"],
                         help="top-k selection (ops/topk.py); measure the "
                              "certified-vs-exact uplift by running both")
+    parser.add_argument("--verify", action="store_true",
+                        help="after timing, run method='exact' once and "
+                             "check thresholded completeness + HIGH score "
+                             "agreement of the timed method's results")
+    parser.add_argument("--planted", action="store_true",
+                        help="use the planted near-dup cluster corpus "
+                             "(tools/exp_topk_precision.make_corpus) so "
+                             "thresholded verification actually bites — a "
+                             "pure random corpus has no cross-row pairs "
+                             "above 0.95")
     parser.add_argument("--exact_above", type=float, default=None,
                         help="duplicate threshold for the relaxed "
                              "certificate (grouping-complete above it)")
@@ -53,9 +64,14 @@ def main() -> int:
 
     from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
 
-    rng = np.random.default_rng(0)
-    e = rng.normal(size=(args.n, args.dim)).astype(np.float32)
-    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    if args.planted:
+        from tools.exp_topk_precision import make_corpus
+
+        e = make_corpus(args.n, args.dim, seed=0)
+    else:
+        rng = np.random.default_rng(0)
+        e = rng.normal(size=(args.n, args.dim)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
 
     multi = len(jax.devices()) > 1 or args.ring
     fn = partial(
@@ -102,6 +118,39 @@ def main() -> int:
     bt = time.perf_counter() - t0
     baseline_qps_at_n = nb / (bt * (args.n / nb))  # scale O(N^2) to full N
 
+    verified = None
+    if args.verify:
+        s_m, i_m = fn(e, args.k)
+        s_x, i_x = (sharded_topk_cosine if multi else topk_cosine)(
+            e, args.k, method="exact")
+        s_m, i_m = np.asarray(s_m), np.asarray(i_m)
+        s_x, i_x = np.asarray(s_x), np.asarray(i_x)
+        if args.exact_above is None:
+            np.testing.assert_array_equal(np.sort(s_m, 1), np.sort(s_x, 1))
+            verified = "strict: score multisets bit-equal to exact"
+        else:
+            thr = args.exact_above
+            # completeness: every exact hit >= thr appears in the candidates
+            exact_hits = s_x >= thr
+            n_checked = 0
+            for row in np.flatnonzero(exact_hits.any(axis=1)):
+                want = set(i_x[row][exact_hits[row]].tolist())
+                got = set(i_m[row][s_m[row] >= thr - 1e-5].tolist())
+                assert want <= got, (row, want - got)
+                n_checked += 1
+            # reported scores at shared ids agree to the HIGH contract
+            both = {}
+            for row in range(len(s_m)):
+                m_map = dict(zip(i_m[row].tolist(), s_m[row].tolist()))
+                for j, sx in zip(i_x[row], s_x[row]):
+                    if int(j) in m_map:
+                        both.setdefault(row, []).append(
+                            abs(m_map[int(j)] - float(sx)))
+            max_d = max((max(v) for v in both.values()), default=0.0)
+            assert max_d < 5e-5, max_d
+            verified = (f"thresholded: complete above {thr} on {n_checked} "
+                        f"rows with hits; shared-id score delta {max_d:.2e}")
+
     print(json.dumps({
         "metric": f"dedup top-{args.k} search over {args.n}-video corpus"
                   + (" (corpus-sharded)" if multi else " (single chip)"),
@@ -114,8 +163,11 @@ def main() -> int:
         # TPU past the 16k per-shard sort knee, exact otherwise.
         "method": args.method,
         "exact_above": args.exact_above,
+        "verified": verified,
         "config": (("ring-sharded" if multi else "single chip")
-                   + f" top-k, method={args.method}, HIGH matmul"),
+                   + f" top-k, method={args.method}, "
+                   + ("bf16 first pass + HIGH rescore"
+                      if args.method == "certified-bf16" else "HIGH matmul")),
     }))
     return 0
 

@@ -34,6 +34,15 @@ The reference searches duplicates with either a full `np.dot` all-pairs matrix
   exact corpus-sharded pass — so multi-chip results keep exact (or, with
   `exact_above`, grouping-complete) semantics at approx speed.
 
+  Thresholded searches additionally get `method="certified-bf16"` (the TPU
+  auto default when `exact_above` is set): the dominant sims matmul drops
+  from Precision.HIGH (3 MXU passes) to a single bf16 pass, the threshold
+  certificate widens by the rigorous bf16 dot-product error bound
+  (_BF16_DOT_EPS) so candidate-completeness survives the noise, and the k
+  returned candidates are re-scored at HIGH (O(M*k*D) — trivial) so
+  reported scores keep the <=2e-5 contract. All three paths support it;
+  measured uplift in BASELINE.md round 4.
+
 Self-matches are NOT excluded (FAISS also returns them); the greedy grouping
 host-side handles that, exactly like the reference.
 """
@@ -81,6 +90,18 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
 # the certified-approx path below exploits.
 _SIM_PRECISION = jax.lax.Precision.HIGH
 
+# Rigorous error bound for a single-pass bf16 matmul (Precision.DEFAULT on
+# TPU: bf16 inputs, f32 accumulation) against the true f32 inner product of
+# UNIT-NORM vectors. Round-to-nearest bf16 (8-bit significand incl. the
+# implicit bit) gives |dx_i| <= |x_i|*2^-8 per element, so
+#   |x.y - xq.yq| <= |dx.y| + |x.dy| + |dx.dy|
+#                 <= 2*2^-8 + 2^-16            (Cauchy-Schwarz, ||x||=||y||=1)
+# plus f32 accumulation error over D<=1024 terms (< 1e-5). 0.008 covers the
+# total with slack; validated empirically in tests/test_topk.py against
+# explicit bf16 rounding. The certified-bf16 path widens its threshold
+# certificate by this margin so completeness survives the cheap first pass.
+_BF16_DOT_EPS = 0.008
+
 
 @partial(jax.jit, static_argnames=("k", "query_block", "precision"))
 def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
@@ -104,10 +125,12 @@ def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
 
 
 @partial(jax.jit,
-         static_argnames=("k", "query_block", "recall", "thr", "precision"))
+         static_argnames=("k", "query_block", "recall", "thr", "precision",
+                          "lowp"))
 def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
                       query_block: int, recall: float,
-                      thr: Optional[float], precision=_SIM_PRECISION):
+                      thr: Optional[float], precision=_SIM_PRECISION,
+                      lowp: bool = False):
     """approx_max_k (TPU PartialReduce) + a per-row exactness certificate
     computed from the same sims tensor. Returns (scores, idx, ok); rows with
     ok=False must be repaired by an exact pass (see topk_search).
@@ -125,31 +148,80 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
     count(sims >= thr) == count(returned >= thr); rows with k or more
     above-threshold neighbours additionally require the strict certificate
     (their candidate list is truncated, so it must be the true top-k).
+
+    lowp (requires thr): the sims matmul — the dominant cost once selection
+    runs at the approx floor — drops to Precision.DEFAULT (ONE bf16 MXU pass
+    instead of HIGH's three) and the threshold certificate widens to
+    thr - _BF16_DOT_EPS, so any item whose TRUE similarity reaches thr still
+    clears the noisy count. Rows with >= k neighbours above the widened
+    threshold fail (a strict certificate is unverifiable from noisy scores).
+    Callers must re-score the returned candidates at HIGH
+    (`_rescore_topk`) so reported scores keep the 2e-5 contract.
     """
     m = queries.shape[0]
     corpus = corpus.astype(jnp.float32)
     col_valid = jnp.arange(corpus.shape[0]) < n_valid
     q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
+    if lowp and thr is None:
+        raise ValueError("lowp first pass requires a threshold certificate")
+    sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
+    thr_eff = None if thr is None else (thr - _BF16_DOT_EPS if lowp else thr)
 
     def block_fn(qb):
-        sims = jnp.dot(qb, corpus.T, precision=precision,
+        sims = jnp.dot(qb, corpus.T, precision=sim_precision,
                        preferred_element_type=jnp.float32)
         sims = jnp.where(col_valid[None, :], sims, _NEG)
         s, i = jax.lax.approx_max_k(sims, k, recall_target=recall)
+        if lowp:
+            n_thr = jnp.sum(sims >= thr_eff, axis=1)
+            ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (n_thr < k)
+            return s, i, ok
         s_k = s[:, k - 1]
         strict = (jnp.sum(sims > s_k[:, None], axis=1)
                   == jnp.sum(s > s_k[:, None], axis=1))
         if thr is None:
             ok = strict
         else:
-            n_thr = jnp.sum(sims >= thr, axis=1)
-            ok = (n_thr == jnp.sum(s >= thr, axis=1)) & ((n_thr < k) | strict)
+            n_thr = jnp.sum(sims >= thr_eff, axis=1)
+            ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (
+                (n_thr < k) | strict)
         return s, i, ok
 
     scores, idx, ok = jax.lax.map(block_fn, q_blocks)
     return (scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m],
             ok.reshape(m_pad)[:m])
+
+
+@partial(jax.jit, static_argnames=("block", "precision"))
+def _rescore_topk(queries: Array, corpus: Array, scores: Array, idx: Array,
+                  block: int = 8192, precision=_SIM_PRECISION):
+    """Re-score (M, k) returned candidates at HIGH precision and re-sort each
+    row. The gather+einsum is O(M*k*D) — trivial next to the O(M*N*D) search
+    — and restores the <=2e-5 score contract after a bf16 first pass.
+    Slots holding -inf (corpus padding / k > n) stay -inf."""
+    m, k = idx.shape
+    q, m_pad = _pad_rows(queries.astype(jnp.float32), block)
+    if m_pad != m:
+        idx = jnp.pad(idx, ((0, m_pad - m), (0, 0)))
+        scores = jnp.pad(scores, ((0, m_pad - m), (0, 0)),
+                         constant_values=_NEG)
+    corpus = corpus.astype(jnp.float32)
+
+    def block_fn(args):
+        qb, ib, sb = args
+        cand = jnp.take(corpus, ib, axis=0, mode="clip")  # (block, k, D)
+        hi = jnp.einsum("md,mkd->mk", qb, cand, precision=precision,
+                        preferred_element_type=jnp.float32)
+        hi = jnp.where(jnp.isneginf(sb), _NEG, hi)
+        s_sorted, pos = jax.lax.top_k(hi, k)
+        return s_sorted, jnp.take_along_axis(ib, pos, axis=1)
+
+    nb = m_pad // block
+    s2, i2 = jax.lax.map(block_fn, (q.reshape(nb, block, -1),
+                                    idx.reshape(nb, block, k),
+                                    scores.reshape(nb, block, k)))
+    return s2.reshape(m_pad, k)[:m], i2.reshape(m_pad, k)[:m]
 
 
 @partial(jax.jit, static_argnames=("k", "precision"))
@@ -217,6 +289,16 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
         for the sort cost to dominate; "exact" otherwise (CPU approx_max_k
         is slower than its top_k, measured 22x at n=4k).
 
+      - "certified-bf16": the certified threshold path with the dominant
+        sims matmul at Precision.DEFAULT (ONE bf16 MXU pass vs HIGH's
+        three); the certificate widens by the rigorous bf16 dot bound
+        (_BF16_DOT_EPS) so candidate-completeness above `exact_above`
+        survives the noise, and the k returned candidates are re-scored at
+        HIGH (O(M*k*D), trivial) so reported scores keep the <=2e-5
+        contract. Requires `exact_above`. The TPU auto default for
+        thresholded searches (measured uplift vs certified-HIGH recorded in
+        BASELINE.md round 4 / docs/ROUND4_NOTES.md).
+
     exact_above: duplicate threshold for the relaxed certificate (scanner
     passes its similarity_threshold). recall_target: approx_max_k target for
     the first pass; None picks the measured-best per certificate — 0.99
@@ -229,7 +311,18 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     n = corpus.shape[0] if n_valid is None else int(n_valid)
     if method == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        method = ("certified" if on_tpu and n >= 16384 and k < n else "exact")
+        if on_tpu and n >= 16384 and k < n:
+            method = "certified" if exact_above is None else "certified-bf16"
+        else:
+            method = "exact"
+    lowp = method == "certified-bf16"
+    if lowp:
+        if exact_above is None:
+            raise ValueError(
+                "method='certified-bf16' needs exact_above: the widened "
+                "certificate is threshold-only (strict exactness cannot be "
+                "certified from single-pass bf16 scores)")
+        method = "certified"
     # bucketed corpus with an exact -inf validity mask: every search
     # compiles per bucket (<=16 per octave, <=~6% pad waste), not per corpus
     # size — a growing library would otherwise trigger a fresh XLA compile
@@ -257,8 +350,13 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
 
     scores, idx, ok = _certified_search(
         queries, corpus, n_valid, k, query_block, recall_target, exact_above,
-        precision=precision,
+        precision=precision, lowp=lowp,
     )
+    if lowp:
+        # restore HIGH-precision reported scores before repairs land, so the
+        # exact-repair rows keep their bit-exact top_k output untouched.
+        scores, idx = _rescore_topk(queries, corpus, scores, idx,
+                                    precision=precision)
     bad = np.flatnonzero(~np.asarray(ok))
     if bad.size:
         m = queries.shape[0]
@@ -294,11 +392,23 @@ def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
     exactness certificate as `_certified_search`. Returns (s, j, ok); a row
     with ok=True has candidates that are PROVABLY its exact local
     top-local_k (strict) or complete above `thr` (thresholded) for THIS
-    tile — so the AND over tiles certifies the merged global result."""
-    if method != "certified":
+    tile — so the AND over tiles certifies the merged global result.
+
+    method='certified-bf16' (caller computed `sims` at Precision.DEFAULT):
+    the threshold certificate widens by _BF16_DOT_EPS so true-similarity
+    >= thr items still clear the noisy count, and the strict fallback is
+    dropped (unverifiable from noisy scores — those rows go to exact
+    repair). The caller must re-score the candidates at HIGH against its
+    resident tile before merging."""
+    if method == "exact":
         s, j = jax.lax.top_k(sims, local_k)
         return s, j, jnp.ones(sims.shape[:1], bool)
     s, j = jax.lax.approx_max_k(sims, local_k, recall_target=recall)
+    if method == "certified-bf16":
+        thr_eff = thr - _BF16_DOT_EPS
+        n_thr = jnp.sum(sims >= thr_eff, axis=1)
+        ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (n_thr < local_k)
+        return s, j, ok
     s_k = s[:, local_k - 1]
     strict = (jnp.sum(sims > s_k[:, None], axis=1)
               == jnp.sum(s > s_k[:, None], axis=1))
@@ -324,6 +434,8 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
     d = mesh.shape[axis_name]
     shard_rows = n_pad // d
     perm = [(i, (i + 1) % d) for i in range(d)]
+    lowp = method == "certified-bf16"
+    sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
 
     def local_fn(shard, n_valid):
         # shard: (shard_rows, D) — this device's query rows AND the corpus
@@ -341,11 +453,20 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
             def block_fn(qb):
                 sims = jnp.dot(
                     qb, tile.T,
-                    precision=precision,
+                    precision=sim_precision,
                     preferred_element_type=jnp.float32,
                 )
                 sims = jnp.where(col_valid[None, :], sims, _NEG)
                 s, j, row_ok = _tile_topk(sims, local_k, method, recall, thr)
+                if lowp:
+                    # re-score the local_k candidates at HIGH against the
+                    # RESIDENT tile (local gather, O(block*local_k*D)) so
+                    # the ring merges and reports HIGH-contract scores.
+                    cand = jnp.take(tile, j, axis=0, mode="clip")
+                    hi = jnp.einsum("md,mkd->mk", qb, cand,
+                                    precision=precision,
+                                    preferred_element_type=jnp.float32)
+                    s = jnp.where(jnp.isneginf(s), _NEG, hi)
                 return s, col_idx[j], row_ok
 
             s, i, ok = jax.lax.map(block_fn, q_blocks)
@@ -363,6 +484,9 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
                          constant_values=_NEG)
             i0 = jnp.pad(i0, ((0, 0), (0, kk - local_k)))
         if d == 1:
+            if lowp:  # rescored rows are not sorted; d>1 merges sort anyway
+                s0, pos = jax.lax.top_k(s0, kk)
+                i0 = jnp.take_along_axis(i0, pos, axis=1)
             return s0, i0, ok0
 
         def step(t, carry):
@@ -402,10 +526,15 @@ def _resolve_sharded_method(method: str, shard_rows: int, local_k: int,
         recall_target = 0.99 if exact_above is None else 0.95
     if method == "auto":
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-        method = ("certified"
-                  if on_tpu and shard_rows >= 16384 and local_k < shard_rows
-                  else "exact")
-    if method not in ("exact", "certified"):
+        if on_tpu and shard_rows >= 16384 and local_k < shard_rows:
+            method = "certified" if exact_above is None else "certified-bf16"
+        else:
+            method = "exact"
+    if method == "certified-bf16" and exact_above is None:
+        raise ValueError(
+            "method='certified-bf16' needs exact_above: the widened "
+            "certificate is threshold-only")
+    if method not in ("exact", "certified", "certified-bf16"):
         raise ValueError(f"unknown top-k method {method!r}")
     return method, recall_target
 
@@ -459,7 +588,7 @@ def sharded_topk_cosine(
                     thr=exact_above)
     scores, idx, ok = fn(corpus, jnp.asarray(n, jnp.int32))
     scores, idx = scores[:n], idx[:n]
-    if method == "certified":
+    if method in ("certified", "certified-bf16"):
         bad = np.flatnonzero(~np.asarray(ok)[:n])
         if bad.size:
             # exact repair against the ring's own padded corpus, row-sharded
@@ -568,6 +697,9 @@ def sharded_topk_search(
            method, recall_target, exact_above)
     fn = _SHARDED_SEARCH_CACHE.get(key)
     if fn is None:
+        lowp = method == "certified-bf16"
+        sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
+
         def local_fn(q, shard, n_valid):
             my = jax.lax.axis_index(axis_name)
             offset = my * shard_rows
@@ -576,11 +708,19 @@ def sharded_topk_search(
             q_blocks = q.reshape(m_pad // q_block, q_block, dim)
 
             def block_fn(qb):
-                sims = jnp.dot(qb, shard.T, precision=precision,
+                sims = jnp.dot(qb, shard.T, precision=sim_precision,
                                preferred_element_type=jnp.float32)
                 sims = jnp.where(col_valid[None, :], sims, _NEG)
                 s, j, row_ok = _tile_topk(sims, local_k, method,
                                           recall_target, exact_above)
+                if lowp:
+                    # HIGH rescore against the resident shard (local gather)
+                    # so the global merge sees HIGH-contract scores.
+                    cand = jnp.take(shard, j, axis=0, mode="clip")
+                    hi = jnp.einsum("md,mkd->mk", qb, cand,
+                                    precision=precision,
+                                    preferred_element_type=jnp.float32)
+                    s = jnp.where(jnp.isneginf(s), _NEG, hi)
                 return s, col_idx[j], row_ok
 
             s, i, ok = jax.lax.map(block_fn, q_blocks)
@@ -607,7 +747,7 @@ def sharded_topk_search(
         _SHARDED_SEARCH_CACHE[key] = fn
     scores, idx, ok = fn(q_pad, corpus_pad, jnp.asarray(n, jnp.int32))
     scores, idx = scores[:m], idx[:m]
-    if method == "certified":
+    if method in ("certified", "certified-bf16"):
         bad = np.flatnonzero(~np.asarray(ok)[:m])
         if bad.size:
             fix_s, fix_i = sharded_topk_search(
