@@ -348,9 +348,11 @@ def test_fingerprint_index_api(tmp_path, embeddings):
 
 
 def test_bf16_dot_eps_bound_is_rigorous():
-    """_BF16_DOT_EPS must dominate the worst observed single-pass bf16 error
-    on unit-norm vectors: round both operands to bf16, accumulate in f32
-    (what Precision.DEFAULT does on TPU), compare against the f64 truth."""
+    """_BF16_DOT_EPS must dominate the worst observed single-pass bf16
+    PIPELINE error on unit-norm vectors: round both operands to bf16,
+    accumulate in f32 (what Precision.DEFAULT does on TPU), then round the
+    RESULT to bf16 (the lowp path materializes sims in bf16), compare
+    against the f64 truth."""
     import jax.numpy as jnp
     from video_fingerprint_tpu.ops.topk import _BF16_DOT_EPS
 
@@ -363,7 +365,10 @@ def test_bf16_dot_eps_bound_is_rigorous():
         truth = x @ y.T  # f64
         xq = np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
         yq = np.asarray(jnp.asarray(y, jnp.bfloat16), np.float32)
-        noisy = xq @ yq.T  # f32 accumulation of bf16-rounded inputs
+        # f32 accumulation of bf16-rounded inputs, result stored as bf16
+        noisy = np.asarray(
+            jnp.asarray((xq @ yq.T).astype(np.float32), jnp.bfloat16),
+            np.float32)
         err = float(np.abs(noisy - truth).max())
         assert err < _BF16_DOT_EPS, (dim, err)
         # the bound should not be vacuous: random pairs already get within

@@ -90,17 +90,25 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
 # the certified-approx path below exploits.
 _SIM_PRECISION = jax.lax.Precision.HIGH
 
-# Rigorous error bound for a single-pass bf16 matmul (Precision.DEFAULT on
-# TPU: bf16 inputs, f32 accumulation) against the true f32 inner product of
-# UNIT-NORM vectors. Round-to-nearest bf16 (8-bit significand incl. the
-# implicit bit) gives |dx_i| <= |x_i|*2^-8 per element, so
+# Rigorous error bound for the single-pass bf16 sims pipeline against the
+# true f32 inner product of UNIT-NORM vectors: bf16-rounded inputs with f32
+# accumulation (Precision.DEFAULT on TPU), the RESULT then stored as bf16.
+# Round-to-nearest bf16 (8-bit significand incl. the implicit bit) gives
+# |dx_i| <= |x_i|*2^-8 per element, so
 #   |x.y - xq.yq| <= |dx.y| + |x.dy| + |dx.dy|
 #                 <= 2*2^-8 + 2^-16            (Cauchy-Schwarz, ||x||=||y||=1)
-# plus f32 accumulation error over D<=1024 terms (< 1e-5). 0.008 covers the
-# total with slack; validated empirically in tests/test_topk.py against
-# explicit bf16 rounding. The certified-bf16 path widens its threshold
-# certificate by this margin so completeness survives the cheap first pass.
-_BF16_DOT_EPS = 0.008
+# plus f32 accumulation error over D<=1024 terms (< 1e-5) plus the bf16
+# rounding of the stored value (<= |sim|*2^-9 <= 2^-9 for |sim| <= ~1):
+# total <= 0.0079 + 0.002 = 0.0099. 0.0105 covers it with slack; validated
+# empirically in tests/test_topk.py against explicit bf16 rounding of both
+# inputs AND output. The certified-bf16 path widens its threshold
+# certificate by this margin so completeness survives the cheap first pass;
+# sims is MATERIALIZED in bf16 because the certificate count is a second
+# consumer that defeats XLA's matmul+reduce fusion — halving the forced
+# HBM round-trip was measured +37% on the first stage at 100k x 256
+# (tools/exp_topk_bf16sims.py; single-consumer variants fuse fully and are
+# dtype-insensitive).
+_BF16_DOT_EPS = 0.0105
 
 
 @partial(jax.jit, static_argnames=("k", "query_block", "precision"))
@@ -169,14 +177,31 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
     thr_eff = None if thr is None else (thr - _BF16_DOT_EPS if lowp else thr)
 
     def block_fn(qb):
+        # lowp materializes sims in bf16: the count below is a second
+        # consumer, so XLA cannot keep sims fused into the matmul — it gets
+        # written to and re-read from HBM, and halving those bytes is worth
+        # more than the storage rounding costs in certificate width
+        # (measured in tools/exp_topk_bf16sims.py).
         sims = jnp.dot(qb, corpus.T, precision=sim_precision,
-                       preferred_element_type=jnp.float32)
-        sims = jnp.where(col_valid[None, :], sims, _NEG)
+                       preferred_element_type=(jnp.bfloat16 if lowp
+                                               else jnp.float32))
+        sims = jnp.where(col_valid[None, :], sims,
+                         jnp.asarray(_NEG, sims.dtype))
+        if lowp:
+            # Force ONE materialization of the bf16 sims: with two
+            # consumers XLA may recompute the matmul for one of them at a
+            # different effective precision, and the certificate's count
+            # equality is only sound if selection and count see the SAME
+            # values (a boundary item rounding up in one domain can mask a
+            # genuine miss — observed on chip at 100k before this barrier).
+            sims = jax.lax.optimization_barrier(sims)
         s, i = jax.lax.approx_max_k(sims, k, recall_target=recall)
         if lowp:
+            # comparisons promote bf16 to f32; s elements are copies of
+            # sims elements, so both counts see identical values.
             n_thr = jnp.sum(sims >= thr_eff, axis=1)
             ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (n_thr < k)
-            return s, i, ok
+            return s.astype(jnp.float32), i, ok
         s_k = s[:, k - 1]
         strict = (jnp.sum(sims > s_k[:, None], axis=1)
                   == jnp.sum(s > s_k[:, None], axis=1))
@@ -451,12 +476,18 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
             col_valid = col_idx < n_valid
 
             def block_fn(qb):
+                # lowp: bf16-materialized sims (the per-tile certificate
+                # count defeats matmul+reduce fusion; see _certified_search)
                 sims = jnp.dot(
                     qb, tile.T,
                     precision=sim_precision,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=(jnp.bfloat16 if lowp
+                                            else jnp.float32),
                 )
-                sims = jnp.where(col_valid[None, :], sims, _NEG)
+                sims = jnp.where(col_valid[None, :], sims,
+                                 jnp.asarray(_NEG, sims.dtype))
+                if lowp:  # single materialization; see _certified_search
+                    sims = jax.lax.optimization_barrier(sims)
                 s, j, row_ok = _tile_topk(sims, local_k, method, recall, thr)
                 if lowp:
                     # re-score the local_k candidates at HIGH against the
@@ -708,9 +739,14 @@ def sharded_topk_search(
             q_blocks = q.reshape(m_pad // q_block, q_block, dim)
 
             def block_fn(qb):
+                # lowp: bf16-materialized sims (see _certified_search)
                 sims = jnp.dot(qb, shard.T, precision=sim_precision,
-                               preferred_element_type=jnp.float32)
-                sims = jnp.where(col_valid[None, :], sims, _NEG)
+                               preferred_element_type=(jnp.bfloat16 if lowp
+                                                       else jnp.float32))
+                sims = jnp.where(col_valid[None, :], sims,
+                                 jnp.asarray(_NEG, sims.dtype))
+                if lowp:  # single materialization; see _certified_search
+                    sims = jax.lax.optimization_barrier(sims)
                 s, j, row_ok = _tile_topk(sims, local_k, method,
                                           recall_target, exact_above)
                 if lowp:
