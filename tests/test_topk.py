@@ -526,3 +526,24 @@ def test_sharded_certified_bf16_requires_threshold():
     e = np.eye(16, 32, dtype=np.float32)
     with _pytest.raises(ValueError, match="exact_above"):
         sharded_topk_cosine(e, 4, method="certified-bf16")
+
+def test_certified_bf16_pins_single_materialization():
+    """The lowp certificate is only sound if selection and count read the
+    SAME materialized bf16 sims (observed on chip: without a barrier XLA
+    recomputed the matmul for one consumer at a different effective
+    precision and a boundary item masked a genuine miss). Pin the
+    optimization_barrier into the lowered program."""
+    import jax
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import _certified_search
+
+    e = jnp.eye(8, 16, dtype=jnp.float32)
+    lowered = jax.jit(
+        lambda q: _certified_search(q, q, jnp.asarray(8, jnp.int32), 2, 8,
+                                    0.95, 0.9, lowp=True)
+    ).lower(e)
+    text = lowered.as_text()
+    assert "opt-barrier" in text or "optimization_barrier" in text, (
+        "lowp path lost its optimization_barrier")
+    # and the sims tensor it protects is bf16 (the point of the exercise)
+    assert "bf16" in text

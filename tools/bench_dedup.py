@@ -38,6 +38,12 @@ def main() -> int:
                         help="after timing, run method='exact' once and "
                              "check thresholded completeness + HIGH score "
                              "agreement of the timed method's results")
+    parser.add_argument("--verify_sample", type=int, default=0,
+                        help="verify against HOST-numpy ground truth on this "
+                             "many sampled rows instead of a full on-device "
+                             "exact pass (full-width lax.top_k at 1M-wide "
+                             "rows crashes the TPU worker — and host truth "
+                             "is an independent reference besides)")
     parser.add_argument("--planted", action="store_true",
                         help="use the planted near-dup cluster corpus "
                              "(tools/exp_topk_precision.make_corpus) so "
@@ -119,7 +125,34 @@ def main() -> int:
     baseline_qps_at_n = nb / (bt * (args.n / nb))  # scale O(N^2) to full N
 
     verified = None
-    if args.verify:
+    if args.verify and args.verify_sample:
+        # Host-numpy ground truth on sampled rows: independent of the whole
+        # TPU stack, and usable at corpus sizes where a full-width exact
+        # lax.top_k crashes the worker (observed at 1M-wide rows).
+        s_m, i_m = fn(e, args.k)
+        s_m, i_m = np.asarray(s_m), np.asarray(i_m)
+        thr = args.exact_above
+        assert thr is not None, "--verify_sample is thresholded-only"
+        rows = np.random.default_rng(1).choice(
+            args.n, size=min(args.verify_sample, args.n), replace=False)
+        max_d, n_hits = 0.0, 0
+        for lo in range(0, len(rows), 256):
+            sel = rows[lo:lo + 256]
+            truth = e_host[sel] @ e_host.T  # (chunk, N) f32 BLAS
+            for r_local, r in enumerate(sel):
+                want = np.flatnonzero(truth[r_local] >= thr)
+                got = set(i_m[r][s_m[r] >= thr - 1e-5].tolist())
+                missing = [int(j) for j in want if int(j) not in got]
+                assert not missing, (int(r), missing)
+                n_hits += len(want)
+                live = np.isfinite(s_m[r])
+                d = np.abs(s_m[r][live] - truth[r_local][i_m[r][live]])
+                max_d = max(max_d, float(d.max()) if d.size else 0.0)
+        assert max_d < 5e-5, max_d
+        verified = (f"host-truth sample: complete above {thr} on "
+                    f"{len(rows)} rows ({n_hits} hits); "
+                    f"score delta {max_d:.2e}")
+    elif args.verify:
         s_m, i_m = fn(e, args.k)
         s_x, i_x = (sharded_topk_cosine if multi else topk_cosine)(
             e, args.k, method="exact")
@@ -130,23 +163,29 @@ def main() -> int:
             verified = "strict: score multisets bit-equal to exact"
         else:
             thr = args.exact_above
-            # completeness: every exact hit >= thr appears in the candidates
-            exact_hits = s_x >= thr
-            n_checked = 0
-            for row in np.flatnonzero(exact_hits.any(axis=1)):
-                want = set(i_x[row][exact_hits[row]].tolist())
-                got = set(i_m[row][s_m[row] >= thr - 1e-5].tolist())
-                assert want <= got, (row, want - got)
-                n_checked += 1
-            # reported scores at shared ids agree to the HIGH contract
-            both = {}
-            for row in range(len(s_m)):
-                m_map = dict(zip(i_m[row].tolist(), s_m[row].tolist()))
-                for j, sx in zip(i_x[row], s_x[row]):
-                    if int(j) in m_map:
-                        both.setdefault(row, []).append(
-                            abs(m_map[int(j)] - float(sx)))
-            max_d = max((max(v) for v in both.values()), default=0.0)
+            # Vectorized + chunked so the check runs at 1M rows (a per-row
+            # Python loop took minutes; this is seconds). Per chunk, the
+            # (rows, k, k) id-equality tensor answers both questions:
+            # completeness (every exact hit >= thr appears among the timed
+            # method's above-threshold candidates) and the HIGH score
+            # contract at shared ids.
+            n_checked, max_d = 0, 0.0
+            for lo in range(0, len(s_m), 65536):
+                hi = lo + 65536
+                xs, xi = s_x[lo:hi], i_x[lo:hi]
+                ms, mi = s_m[lo:hi], i_m[lo:hi]
+                same_id = xi[:, :, None] == mi[:, None, :]  # (rows, k, k)
+                hit_x = xs >= thr                           # exact hits
+                cand_m = ms >= thr - 1e-5                   # timed candidates
+                found = (same_id & cand_m[:, None, :]).any(-1)
+                missing = hit_x & ~found
+                assert not missing.any(), (
+                    lo + np.flatnonzero(missing.any(1))[:5],
+                    xi[missing][:5])
+                n_checked += int(hit_x.any(1).sum())
+                live = same_id & np.isfinite(ms)[:, None, :]
+                d = np.abs(ms[:, None, :] - xs[:, :, None])
+                max_d = max(max_d, float(np.where(live, d, 0.0).max()))
             assert max_d < 5e-5, max_d
             verified = (f"thresholded: complete above {thr} on {n_checked} "
                         f"rows with hits; shared-id score delta {max_d:.2e}")
