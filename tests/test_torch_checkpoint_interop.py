@@ -189,3 +189,44 @@ def test_export_3d_roundtrip_to_reference():
     )
     cos = float(np.sum(ours * ref_emb) / (np.linalg.norm(ours) * np.linalg.norm(ref_emb)))
     assert cos > 0.9999, cos
+
+
+def test_trainer_warm_start_from_pth(torch_ckpt, tmp_path):
+    """`--checkpoint model.pth` warm-starts training from a reference torch
+    checkpoint: weights loaded, optimizer/schedule/counters fresh (torch
+    AdamW state does not transfer to optax — docs/MIGRATION.md)."""
+    import jax
+
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training import checkpoint as ckpt_mod
+    from video_fingerprint_tpu.training.trainer import Trainer
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    path, _, _ = torch_ckpt
+    make_corpus(tmp_path / "v", num_unique=4, num_frames=16, duplicates=0)
+    config = {
+        "batch_size": 2, "epochs": 1, "learning_rate": 1e-3,
+        "frame_size": 64, "max_frames": 16, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256, "min_extract_ratio": 0.5,
+        "model_type": "attention", "device": "cpu", "seed": 0,
+        "spatial_dim": 128, "temporal_dim": 256, "num_attention_blocks": 4,
+    }
+    model = create_model("attention")
+    loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=2, num_workers=0, max_frames=16,
+        mode="val", model_type="attention",
+    )
+    trainer = Trainer(model, loader, loader, config, tmp_path / "run")
+    trainer.resume(str(path))
+
+    want, _ = ckpt_mod.load_any(path)
+    got = jax.device_get(trainer.state.params)
+    leaves_w = jax.tree_util.tree_leaves(want["params"])
+    leaves_g = jax.tree_util.tree_leaves(got)
+    assert len(leaves_w) == len(leaves_g)
+    for a, b in zip(leaves_w, leaves_g):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # counters and schedule start fresh: the .pth's epoch=3/step=42 ignored
+    assert trainer.epoch == 0
+    assert int(jax.device_get(trainer.state.step)) == 0

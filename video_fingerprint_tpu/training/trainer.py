@@ -551,7 +551,30 @@ class Trainer:
                 )
 
     def resume(self, checkpoint_path):
-        if Path(checkpoint_path).is_dir():  # Orbax directory checkpoint
+        p = Path(checkpoint_path)
+        if p.suffix == ".pth" or (p.is_file() and ckpt._looks_like_torch(p)):
+            # Reference torch checkpoint: weights-only warm start. Torch AdamW
+            # state does not transfer to optax, so the optimizer, schedule and
+            # counters start fresh (reference train.py:703 restores them from
+            # its own format only; fine-tuning a reference model here is the
+            # migration workflow — docs/MIGRATION.md "Checkpoints").
+            variables, _ = ckpt.load_any(p)
+            self.state = self.dp.replicate(
+                TrainState(
+                    params=variables["params"],
+                    batch_stats=variables["batch_stats"],
+                    opt_state=self.tx.init(variables["params"]),
+                    step=jnp.asarray(0, jnp.int32),
+                )
+            )
+            print(f"Warm start from reference checkpoint {p} "
+                  "(weights only; fresh optimizer state and schedule)")
+            if self.is_main:
+                with open(self.run_dir / "training_info.txt", "a") as f:
+                    f.write(f"\n\nWarm start (weights only) from torch "
+                            f"checkpoint: {checkpoint_path}\n")
+            return
+        if p.is_dir():  # Orbax directory checkpoint
             payload = ckpt.load_checkpoint_orbax(checkpoint_path)
         else:
             payload = ckpt.load_checkpoint(checkpoint_path)
