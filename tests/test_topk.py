@@ -547,3 +547,57 @@ def test_certified_bf16_pins_single_materialization():
         "lowp path lost its optimization_barrier")
     # and the sims tensor it protects is bf16 (the point of the exercise)
     assert "bf16" in text
+
+
+def test_wide_topk_bit_equal_to_full_width():
+    """_wide_topk (column-chunked selection + merge, the structural fix for
+    the 1M-wide lax.top_k TPU-worker crash) must be BIT-equal to full-width
+    lax.top_k — scores AND indices, including the (score desc, index asc)
+    tie rule — on tie-heavy inputs, -inf padding columns, uneven last
+    chunks, and k spanning a chunk boundary."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.ops.topk import _wide_topk
+
+    rng = np.random.default_rng(7)
+    for n, chunk, k in [(23, 7, 5), (64, 16, 16), (100, 32, 20),
+                        (33, 32, 3), (40, 8, 12)]:
+        # tie-heavy: quantized scores so duplicates straddle chunk borders
+        sims = rng.integers(0, 6, (9, n)).astype(np.float32)
+        sims[:, -3:] = -np.inf  # padding columns
+        sims[0, :] = 1.0        # a fully tied row
+        s_ref, i_ref = jax.lax.top_k(jnp.asarray(sims), k)
+        s_chk, i_chk = _wide_topk(jnp.asarray(sims), k, chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(s_chk), np.asarray(s_ref),
+                                      err_msg=f"n={n} chunk={chunk} k={k}")
+        np.testing.assert_array_equal(np.asarray(i_chk), np.asarray(i_ref),
+                                      err_msg=f"n={n} chunk={chunk} k={k}")
+    # width <= chunk short-circuits to the single full-width op
+    sims = rng.normal(size=(4, 50)).astype(np.float32)
+    s_ref, i_ref = jax.lax.top_k(jnp.asarray(sims), 5)
+    s_chk, i_chk = _wide_topk(jnp.asarray(sims), 5, chunk=64)
+    np.testing.assert_array_equal(np.asarray(s_chk), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(i_chk), np.asarray(i_ref))
+
+
+def test_exact_search_chunked_matches_unchunked(embeddings, monkeypatch):
+    """topk_search(method='exact') through a tiny _WIDE_TOPK_CHUNK must
+    reproduce the unchunked search bit-for-bit end-to-end (the call sites
+    resolve _wide_topk at trace time, so patching its default chunk via a
+    wrapper exercises the chunked branch inside the jitted programs)."""
+    import functools
+
+    from video_fingerprint_tpu.ops import topk as topk_mod
+
+    k = 10
+    ref_s, ref_i = topk_mod.topk_search(embeddings, embeddings, k,
+                                        query_block=128, method="exact")
+    orig = topk_mod._wide_topk
+    monkeypatch.setattr(topk_mod, "_wide_topk",
+                        functools.partial(orig, chunk=64))
+    # new shapes force a re-trace; (333->1024-padded, chunk 64) => 16 chunks
+    chk_s, chk_i = topk_mod.topk_search(embeddings[:111], embeddings, k,
+                                        query_block=64, method="exact")
+    np.testing.assert_array_equal(np.asarray(chk_s), np.asarray(ref_s[:111]))
+    np.testing.assert_array_equal(np.asarray(chk_i), np.asarray(ref_i[:111]))

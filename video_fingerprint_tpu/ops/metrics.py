@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from video_fingerprint_tpu.ops.topk import _wide_topk
+
 Array = jax.Array
 
 
@@ -155,7 +157,9 @@ def _metrics_block(
     # retrieval: the block holds its FULL rows, so R@k and the reference-mAP
     # (self at -inf yet still a positive, see retrieval_metrics) are exact.
     sims_noself = jnp.where(eye, -jnp.inf, sims)
-    _, top_idx = jax.lax.top_k(sims_noself, kmax)
+    # _wide_topk: the streaming block is (b, N)-wide — full-width lax.top_k
+    # crashes the TPU worker at ~1M-wide rows (ops/topk.py postmortem)
+    _, top_idx = _wide_topk(sims_noself, kmax)
     top_same = jnp.take_along_axis(same & ~eye, top_idx, axis=1)
     rv = row_valid.astype(jnp.float32)
     for k in range(1, kmax + 1):
@@ -179,7 +183,7 @@ def _metrics_block(
         # reductions — no (b, N) sort at all. Position of column j in
         # jnp.argsort(-sims_noself) (stable => ties break by ascending
         # column index): count(s > s_j) + count(s == s_j & col < j).
-        pos_val, pos_idx = jax.lax.top_k(same.astype(jnp.float32), pmax)
+        pos_val, pos_idx = _wide_topk(same.astype(jnp.float32), pmax)
         p_valid = pos_val > 0.5                      # (b, pmax) real positive?
         s_pos = jnp.take_along_axis(sims_noself, pos_idx, axis=1)
         gt = jnp.sum(sims_noself[:, None, :] > s_pos[:, :, None], axis=-1)

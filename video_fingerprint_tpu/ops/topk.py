@@ -80,6 +80,42 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
     return x, padded
 
 
+# Full-width lax.top_k crashes the TPU worker on very wide rows: reproduced
+# 3x at 1M-wide (even with 256-row query blocks) while the 100k production
+# bucket is long-proven. Rows wider than this are selected per column-chunk
+# and merged (_wide_topk) — 131072 keeps every proven-good shape on the
+# single full-width top_k it always compiled to.
+_WIDE_TOPK_CHUNK = 131072
+
+
+def _wide_topk(sims: Array, k: int, chunk: int = _WIDE_TOPK_CHUNK):
+    """`lax.top_k` over the last axis, structurally safe at any row width.
+
+    Rows wider than `chunk` columns are split into static column chunks,
+    top-k'd per chunk, and the (rows, sum_kk) candidates merged by one small
+    top_k. Bit-equal to the full-width op INCLUDING the tie rule: both
+    return the k largest by (score desc, index asc) — per-chunk top_k keeps
+    ties in ascending-index order and the concatenation is in chunk order,
+    so the merge's earliest-position tie-break selects the lowest global
+    indices. Tested against full-width on tie-heavy inputs
+    (tests/test_topk.py)."""
+    n = sims.shape[-1]
+    if n <= chunk:
+        return jax.lax.top_k(sims, k)
+    ss, ii = [], []
+    for s0 in range(0, n, chunk):
+        width = min(chunk, n - s0)
+        sc, ic = jax.lax.top_k(
+            jax.lax.slice_in_dim(sims, s0, s0 + width, axis=-1),
+            min(k, width))
+        ss.append(sc)
+        ii.append(ic + s0)
+    s_all = jnp.concatenate(ss, axis=-1)
+    i_all = jnp.concatenate(ii, axis=-1)
+    s_top, pos = jax.lax.top_k(s_all, k)
+    return s_top, jnp.take_along_axis(i_all, pos, axis=-1)
+
+
 # Matmul precision for similarity math. HIGH = bf16x3 emulated f32 (3 MXU
 # passes vs HIGHEST's 6): tracks HIGHEST to <=2e-5 on unit-norm 256-d
 # embeddings at the 100k production shape while DEFAULT's single bf16 pass
@@ -114,8 +150,9 @@ _BF16_DOT_EPS = 0.0105
 @partial(jax.jit, static_argnames=("k", "query_block", "precision"))
 def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
                   query_block: int = 1024, precision=_SIM_PRECISION):
-    """Single-stage exact k-NN: query-tiled matmul + full-width lax.top_k.
-    Corpus rows at index >= n_valid are padding, masked to -inf."""
+    """Single-stage exact k-NN: query-tiled matmul + lax.top_k (column-
+    chunked above _WIDE_TOPK_CHUNK — full-width crashes the TPU worker at
+    1M-wide rows). Corpus rows at index >= n_valid are padding, -inf."""
     m = queries.shape[0]
     corpus = corpus.astype(jnp.float32)
     col_valid = jnp.arange(corpus.shape[0]) < n_valid
@@ -126,7 +163,7 @@ def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
         sims = jnp.dot(qb, corpus.T, precision=precision,
                        preferred_element_type=jnp.float32)
         sims = jnp.where(col_valid[None, :], sims, _NEG)
-        return jax.lax.top_k(sims, k)
+        return _wide_topk(sims, k)
 
     scores, idx = jax.lax.map(block_topk, q_blocks)
     return scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m]
@@ -260,7 +297,7 @@ def _exact_rows_fix(queries: Array, corpus: Array, n_valid: Array,
                    preferred_element_type=jnp.float32)
     sims = jnp.where(jnp.arange(corpus.shape[0])[None, :] < n_valid,
                      sims, _NEG)
-    return jax.lax.top_k(sims, k)
+    return _wide_topk(sims, k)
 
 
 @jax.jit
@@ -298,7 +335,9 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     (scores (M, k), indices (M, k)).
 
     method:
-      - "exact": single-stage lax.top_k over the full corpus width.
+      - "exact": single-stage lax.top_k over the corpus width (column-
+        chunked + merged above _WIDE_TOPK_CHUNK, where the full-width op
+        crashes the TPU worker; bit-equal either way).
       - "certified": lax.approx_max_k + per-row exactness certificate; rows
         failing it are gathered and repaired by fixed-shape exact passes, so
         the RESULT is exact (strictly: the top-k score multiset per row, or —
@@ -426,7 +465,7 @@ def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
     repair). The caller must re-score the candidates at HIGH against its
     resident tile before merging."""
     if method == "exact":
-        s, j = jax.lax.top_k(sims, local_k)
+        s, j = _wide_topk(sims, local_k)
         return s, j, jnp.ones(sims.shape[:1], bool)
     s, j = jax.lax.approx_max_k(sims, local_k, recall_target=recall)
     if method == "certified-bf16":
