@@ -601,3 +601,30 @@ def test_exact_search_chunked_matches_unchunked(embeddings, monkeypatch):
                                         query_block=64, method="exact")
     np.testing.assert_array_equal(np.asarray(chk_s), np.asarray(ref_s[:111]))
     np.testing.assert_array_equal(np.asarray(chk_i), np.asarray(ref_i[:111]))
+
+
+def test_query_slabbing_matches_single_dispatch(embeddings, monkeypatch):
+    """The per-dispatch work budget (_DISPATCH_CELLS — the axon worker kills
+    long executions) slabs queries into multiple dispatches; results must be
+    invariant: bit-equal scores/indices for exact, and certified slabs must
+    still repair their own failing rows (forced via recall_target) to match
+    the exact oracle."""
+    from video_fingerprint_tpu.ops import topk as topk_mod
+
+    k = 10
+    ref_s, ref_i = topk_mod.topk_search(embeddings, embeddings, k,
+                                        query_block=64, method="exact")
+    # 333 queries x 1024-padded corpus = 341k cells; budget 70k forces
+    # slab = max(query_block, 0) = 64 -> 6 dispatches
+    monkeypatch.setitem(topk_mod._DISPATCH_CELLS, "exact", 70_000)
+    monkeypatch.setitem(topk_mod._DISPATCH_CELLS, "certified", 70_000)
+    s, i = topk_mod.topk_search(embeddings, embeddings, k,
+                                query_block=64, method="exact")
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    cs, ci = topk_mod.topk_search(embeddings, embeddings, k,
+                                  query_block=64, method="certified",
+                                  recall_target=0.7)
+    np.testing.assert_allclose(np.sort(np.asarray(cs), 1),
+                               np.sort(np.asarray(ref_s), 1), atol=1e-6)

@@ -41,9 +41,10 @@ def main() -> int:
     parser.add_argument("--verify_sample", type=int, default=0,
                         help="verify against HOST-numpy ground truth on this "
                              "many sampled rows instead of a full on-device "
-                             "exact pass (full-width lax.top_k at 1M-wide "
-                             "rows crashes the TPU worker — and host truth "
-                             "is an independent reference besides)")
+                             "exact pass (host truth is independent of the "
+                             "entire TPU stack; the on-device exact pass at "
+                             "1M works too since the dispatch-slabbing fix "
+                             "but costs a second full search)")
     parser.add_argument("--planted", action="store_true",
                         help="use the planted near-dup cluster corpus "
                              "(tools/exp_topk_precision.make_corpus) so "

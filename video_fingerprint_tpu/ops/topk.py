@@ -87,6 +87,24 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
 # single full-width top_k it always compiled to.
 _WIDE_TOPK_CHUNK = 131072
 
+# Per-DISPATCH work budget (query_rows x corpus_rows cells) per method.
+# The axon TPU worker kills executions that run too long ("TPU worker
+# process crashed or restarted", kernel-fault wording): isolated on chip at
+# 1M x 256 — the same program is fine at 64k queries (5.2 s), fine as 15
+# separate 65k-query dispatches (~5 s each), and fine as certified (26.4 s),
+# but dies as ONE ~78 s exact dispatch regardless of query_block (1024 or
+# 256) or top_k width (full or column-chunked), so the discriminator is
+# dispatch DURATION, not shape or memory (tools/exp_wide_topk.py).
+# topk_search slabs queries so each dispatch stays ~10-15 s at the rates
+# measured at 1M width (exact ~1.3e10 cells/s; certified ~3.8e10;
+# certified-bf16 ~1e11). Every proven config (100k all methods = 1e10
+# cells) stays single-dispatch.
+_DISPATCH_CELLS = {
+    "exact": 2 * 10**11,
+    "certified": 5 * 10**11,
+    "certified-bf16": 10**12,
+}
+
 
 def _wide_topk(sims: Array, k: int, chunk: int = _WIDE_TOPK_CHUNK):
     """`lax.top_k` over the last axis, structurally safe at any row width.
@@ -406,11 +424,40 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
              jnp.zeros((n_pad - n, corpus.shape[1]), jnp.float32)]
         )
     n_valid = jnp.asarray(n, jnp.int32)
+    if method not in ("exact", "certified"):
+        raise ValueError(f"unknown top-k method {method!r}")
+
+    # Slab the queries so no single dispatch exceeds the per-method work
+    # budget (_DISPATCH_CELLS): the axon worker kills long-running
+    # executions, and one exact 1M-self-search dispatch (~78 s) dies where
+    # the same work as ~5-15 s dispatches completes. Results are invariant
+    # to slabbing (indices are corpus-side; each slab repairs its own rows).
+    m = queries.shape[0]
+    budget = _DISPATCH_CELLS["certified-bf16" if lowp else method]
+    if m * n_pad > budget:
+        slab = max(query_block,
+                   (budget // n_pad) // query_block * query_block)
+        parts = [
+            _search_padded(queries[lo:lo + slab], corpus, n_valid, k,
+                           query_block, precision, method, lowp,
+                           recall_target, exact_above)
+            for lo in range(0, m, slab)
+        ]
+        return (jnp.concatenate([p[0] for p in parts]),
+                jnp.concatenate([p[1] for p in parts]))
+    return _search_padded(queries, corpus, n_valid, k, query_block,
+                          precision, method, lowp, recall_target,
+                          exact_above)
+
+
+def _search_padded(queries: Array, corpus: Array, n_valid: Array, k: int,
+                   query_block: int, precision, method: str, lowp: bool,
+                   recall_target: float, exact_above: Optional[float]):
+    """One dispatch-group of topk_search over a pre-padded corpus: the
+    exact or certified first stage plus (certified) rescore and repair."""
     if method == "exact":
         return _exact_search(queries, corpus, n_valid, k,
                              query_block=query_block, precision=precision)
-    if method != "certified":
-        raise ValueError(f"unknown top-k method {method!r}")
 
     scores, idx, ok = _certified_search(
         queries, corpus, n_valid, k, query_block, recall_target, exact_above,
