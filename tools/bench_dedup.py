@@ -59,6 +59,16 @@ def main() -> int:
                              "cosine) even on one device — times the "
                              "multi-chip program's per-device work")
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--query_block", type=int, default=1024,
+                        help="rows per query tile; drop to 256 at >=4M "
+                             "corpora so one tile's sims block stays ~2 GB")
+    parser.add_argument("--device_corpus", action="store_true",
+                        help="generate the corpus with jax.random ON DEVICE "
+                             "(multi-M corpora: host numpy normal draws run "
+                             "~3e6 rows/min on this 1-core box and the "
+                             "tunnel uploads at ~35 MB/s — device gen makes "
+                             "4M x 256 staging seconds instead of ~8 min); "
+                             "incompatible with --planted/--verify_sample")
     args = parser.parse_args()
 
     if args.cpu:
@@ -71,7 +81,16 @@ def main() -> int:
 
     from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
 
-    if args.planted:
+    if args.device_corpus:
+        if args.planted or args.verify_sample:
+            parser.error("--device_corpus is incompatible with --planted/"
+                         "--verify_sample (they need the full host corpus)")
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(0)
+        e = jax.random.normal(key, (args.n, args.dim), jnp.float32)
+        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+    elif args.planted:
         from tools.exp_topk_precision import make_corpus
 
         e = make_corpus(args.n, args.dim, seed=0)
@@ -84,9 +103,14 @@ def main() -> int:
     fn = partial(
         sharded_topk_cosine if multi else topk_cosine,
         method=args.method, exact_above=args.exact_above,
+        query_block=args.query_block,
     )
 
-    e_host = e  # the host-numpy baseline must stay on host
+    if args.device_corpus:
+        # the host-numpy baseline leg only needs its first baseline_n rows
+        e_host = np.asarray(e[:min(args.baseline_n, args.n)])
+    else:
+        e_host = e  # the host-numpy baseline must stay on host
     # stage the corpus in HBM once — the production scanner's embeddings
     # already live on device; re-uploading ~100MB+ per timed call would
     # measure the host link, not the search (measured: un-staged ring legs
