@@ -683,6 +683,13 @@ def sharded_topk_cosine(
     exact (strict) / grouping-complete (`exact_above` set) at approx speed,
     now on the multi-chip path too. Reference workload:
     fingerprint.py:515-548.
+
+    Dispatch duration: the ring is ONE program of N^2/d cells per device
+    (the axon worker kills executions past ~1 min — see _DISPATCH_CELLS).
+    It is not query-slabbed like `topk_search`: scale past ~1-2M rows per
+    certified-bf16 device-dispatch by adding devices (duration shrinks
+    ~d^2: 1/d queries x the same rotating tiles), or slab on the caller
+    side via `sharded_topk_search` over a `stage_sharded_corpus` result.
     """
     if mesh is None:
         from video_fingerprint_tpu.parallel.mesh import make_mesh
