@@ -427,6 +427,15 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     if method not in ("exact", "certified"):
         raise ValueError(f"unknown top-k method {method!r}")
 
+    # Cap one query tile's sims block at ~4 GB so multi-M corpora cannot
+    # OOM with the default query_block (1024 x 4M-pad f32 would be 16+ GB
+    # of per-tile intermediates on a 16 GB chip). Every measured config is
+    # preserved: 1M f32 keeps qb=1024 (4.06 GB), 1M bf16 keeps 1024
+    # (2 GB), 4M drops to the 256 the scale run used.
+    bytes_per = 2 if lowp else 4
+    max_qb = max(256, (4 << 30) // (n_pad * bytes_per) // 256 * 256)
+    query_block = min(query_block, max_qb)
+
     # Slab the queries so no single dispatch exceeds the per-method work
     # budget (_DISPATCH_CELLS): the axon worker kills long-running
     # executions, and one exact 1M-self-search dispatch (~78 s) dies where
