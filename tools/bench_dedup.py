@@ -68,7 +68,9 @@ def main() -> int:
                              "~3e6 rows/min on this 1-core box and the "
                              "tunnel uploads at ~35 MB/s — device gen makes "
                              "4M x 256 staging seconds instead of ~8 min); "
-                             "incompatible with --planted/--verify_sample")
+                             "composes with --planted (device-side cluster "
+                             "construction) and --verify_sample (one D2H "
+                             "pull after timing)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -82,13 +84,23 @@ def main() -> int:
     from video_fingerprint_tpu.ops.topk import sharded_topk_cosine, topk_cosine
 
     if args.device_corpus:
-        if args.planted:
-            parser.error("--device_corpus is incompatible with --planted "
-                         "(the planted corpus is built on host)")
         import jax.numpy as jnp
 
-        key = jax.random.PRNGKey(0)
-        e = jax.random.normal(key, (args.n, args.dim), jnp.float32)
+        k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
+        e = jax.random.normal(k0, (args.n, args.dim), jnp.float32)
+        if args.planted:
+            # device port of exp_topk_precision.make_corpus: ~10% of rows
+            # in near-dup clusters with cosines straddling 0.93-0.995, so
+            # thresholded verification has real cross-row hits at any scale
+            n_clusters = max(1, args.n // 40)
+            rows = args.n // 10
+            base = jax.random.normal(k1, (n_clusters, args.dim), jnp.float32)
+            which = jax.random.randint(k2, (rows,), 0, n_clusters)
+            s = jax.random.uniform(k3, (rows, 1), jnp.float32,
+                                   minval=0.1, maxval=0.4)
+            e = e.at[:rows].set(
+                base[which]
+                + s * jax.random.normal(k4, (rows, args.dim), jnp.float32))
         e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
     elif args.planted:
         from tools.exp_topk_precision import make_corpus
@@ -170,14 +182,36 @@ def main() -> int:
         s_m, i_m = np.asarray(s_m), np.asarray(i_m)
         thr = args.exact_above
         assert thr is not None, "--verify_sample is thresholded-only"
-        rows = np.random.default_rng(1).choice(
-            args.n, size=min(args.verify_sample, args.n), replace=False)
+        vrng = np.random.default_rng(1)
+        n_sample = min(args.verify_sample, args.n)
+        if args.planted:
+            # planted clusters live in rows [0, n//10): draw half the sample
+            # there so the completeness check sees real cross-row hits, not
+            # just each row's self-hit
+            block = max(1, args.n // 10)
+            half = min(n_sample // 2, block)
+            rows = np.concatenate([
+                vrng.choice(block, size=half, replace=False),
+                vrng.choice(args.n, size=n_sample - half, replace=False),
+            ])
+            rows = np.unique(rows)
+        else:
+            rows = vrng.choice(args.n, size=n_sample, replace=False)
         max_d, n_hits = 0.0, 0
         for lo in range(0, len(rows), 256):
             sel = rows[lo:lo + 256]
             truth = e_host[sel] @ e_host.T  # (chunk, N) f32 BLAS
             for r_local, r in enumerate(sel):
                 want = np.flatnonzero(truth[r_local] >= thr)
+                if len(want) > args.k:
+                    # the candidate list is k-truncated (the reference's
+                    # FAISS path truncates at k=min(20,n) too,
+                    # fingerprint.py:524-528): only hits strictly above the
+                    # k-th best true score (+ score-contract tolerance) are
+                    # guaranteed to appear
+                    tw = truth[r_local][want]
+                    cut = np.sort(tw)[-args.k]
+                    want = want[tw > cut + 5e-5]
                 got = set(i_m[r][s_m[r] >= thr - 1e-5].tolist())
                 missing = [int(j) for j in want if int(j) not in got]
                 assert not missing, (int(r), missing)
