@@ -142,3 +142,29 @@ def test_two_process_full_epoch_single_writer(tmp_path):
     # ... and rank 1 wrote NOTHING into its own run dir
     rank1_files = [p for p in (tmp_path / "rank1").rglob("*") if p.is_file()]
     assert rank1_files == [], f"rank 1 wrote: {rank1_files}"
+
+
+def test_two_process_sharded_dedup():
+    """Corpus-sharded dedup over a REAL 2-process cluster: the shard_map
+    ring, the host-side certificate/repair logic, and the output replication
+    (`_replicate_for_host` — without it every rank's np.asarray of the
+    P('corpus')-sharded results raises `spans non-addressable devices`,
+    reproduced) must work across processes, not just the in-process mesh.
+    Exercises exact, certified (repairs forced), certified-bf16 and the
+    query-vs-corpus search; each rank checks the numpy oracle itself."""
+    worker = REPO_ROOT / "tools" / "multihost_smoke_worker.py"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), "2", "12447", "dedup"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO_ROOT, env=env,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, out[-2000:]
+        assert "sharded dedup over 2 processes OK" in out, out[-2000:]

@@ -213,9 +213,66 @@ def run_equiv(run_base: str):
     )
 
 
+def run_dedup():
+    """2-process corpus-sharded dedup: sharded_topk_cosine (exact AND
+    certified with forced repairs) + sharded_topk_search on a mesh that
+    spans PROCESSES — proves the shard_map ring, the host-side certificate/
+    repair logic and the output replication work over a real jax.distributed
+    cluster, not just the in-process 8-device mesh (every rank must be able
+    to np.asarray the results and agree with the numpy oracle)."""
+    from jax.sharding import Mesh
+
+    from video_fingerprint_tpu.ops.topk import (
+        sharded_topk_cosine,
+        sharded_topk_search,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()), ("corpus",))
+    n, dim, k = 96, 32, 5
+    rng = np.random.default_rng(3)
+    e = rng.normal(size=(n, dim)).astype(np.float32)
+    for a, b in ((0, 1), (40, 41), (70, 71)):  # planted near-dups
+        e[b] = 0.98 * e[a] + 0.2 * e[b]
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    sims = e @ e.T
+    oracle = np.sort(np.take_along_axis(
+        sims, np.argsort(-sims, axis=1)[:, :k], axis=1), axis=1)
+
+    for method, kwargs in [
+        ("exact", {}),
+        ("certified", {"recall_target": 0.7}),  # force the repair path
+        ("certified-bf16", {"recall_target": 0.7, "exact_above": 0.9}),
+    ]:
+        s, i = sharded_topk_cosine(e, k, mesh=mesh, query_block=8,
+                                   method=method, **kwargs)
+        s, i = np.asarray(s), np.asarray(i)  # every rank reads results
+        if method == "certified-bf16":
+            thr = 0.9
+            for row in range(n):
+                want = set(np.flatnonzero(sims[row] >= thr).tolist())
+                got = {int(j) for ss, j in zip(s[row], i[row])
+                       if ss >= thr - 1e-5}
+                assert want <= got, (method, row, want - got)
+        else:
+            np.testing.assert_allclose(np.sort(s, axis=1), oracle,
+                                       atol=1e-5, err_msg=method)
+
+    q = rng.normal(size=(7, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qs, qi = sharded_topk_search(q, e, k, mesh=mesh, method="exact")
+    q_sims = q @ e.T
+    q_oracle = np.take_along_axis(
+        q_sims, np.argsort(-q_sims, axis=1)[:, :k], axis=1)
+    np.testing.assert_allclose(np.asarray(qs), q_oracle, atol=1e-5)
+    print(f"sharded dedup over {jax.process_count()} processes OK "
+          f"(exact+certified+bf16 ring, query search)", flush=True)
+
+
 if mode == "full":
     run_full(sys.argv[5])
 elif mode == "equiv":
     run_equiv(sys.argv[5])
+elif mode == "dedup":
+    run_dedup()
 else:
     run_step()

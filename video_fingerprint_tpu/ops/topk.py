@@ -642,6 +642,23 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
     return fn
 
 
+def _replicate_for_host(mesh: Mesh, *arrays):
+    """Re-layout sharded outputs to fully-replicated under a MULTI-PROCESS
+    mesh: the host-side logic that follows (np.asarray of the certificate
+    vector, fancy-indexed repair scatters, returning results every host can
+    read) requires fully-addressable arrays, and a P('corpus')-sharded
+    global array spans non-addressable devices on every other host. One
+    all-gather over DCN; no-op (returns inputs) in a single process."""
+    if jax.process_count() == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    out = jax.jit(lambda *xs: xs,
+                  out_shardings=tuple(repl for _ in arrays))(*arrays)
+    return out if len(arrays) > 1 else out[0]
+
+
 def _resolve_sharded_method(method: str, shard_rows: int, local_k: int,
                             exact_above, recall_target):
     """Shared auto rule: certified when the PER-SHARD sort width is large
@@ -710,6 +727,15 @@ def sharded_topk_cosine(
     per_shard = (n + d - 1) // d
     query_block = min(query_block, ((per_shard + 7) // 8) * 8)
     corpus, n_pad = _pad_rows(embeddings.astype(jnp.float32), d * query_block)
+    if jax.process_count() > 1 and not (
+            hasattr(corpus, "sharding")
+            and getattr(corpus.sharding, "mesh", None) == mesh):
+        # multi-process: _pad_rows commits to the LOCAL default device; the
+        # shard_map needs a global row-sharded array every process can feed
+        from jax.sharding import NamedSharding
+
+        corpus = jax.device_put(np.asarray(corpus),
+                                NamedSharding(mesh, P(axis_name, None)))
     shard_rows = n_pad // d
 
     local_k = min(k, shard_rows)
@@ -720,6 +746,7 @@ def sharded_topk_cosine(
                     precision, method=method, recall=recall_target,
                     thr=exact_above)
     scores, idx, ok = fn(corpus, jnp.asarray(n, jnp.int32))
+    scores, idx, ok = _replicate_for_host(mesh, scores, idx, ok)
     scores, idx = scores[:n], idx[:n]
     if method in ("certified", "certified-bf16"):
         bad = np.flatnonzero(~np.asarray(ok)[:n])
@@ -822,6 +849,12 @@ def sharded_topk_search(
     q_block = min(query_block,
                   int(2 ** np.ceil(np.log2(max(m, 8)))))
     q_pad, m_pad = _pad_rows(jnp.asarray(queries, jnp.float32), q_block)
+    if jax.process_count() > 1:
+        # multi-process: queries must be a replicated GLOBAL array (the
+        # local jnp.asarray commit cannot be auto-resharded across hosts)
+        from jax.sharding import NamedSharding
+
+        q_pad = jax.device_put(np.asarray(q_pad), NamedSharding(mesh, P()))
     local_k = min(k, shard_rows)
     method, recall_target = _resolve_sharded_method(
         method, shard_rows, local_k, exact_above, recall_target)
@@ -884,6 +917,7 @@ def sharded_topk_search(
 
         _SHARDED_SEARCH_CACHE[key] = fn
     scores, idx, ok = fn(q_pad, corpus_pad, jnp.asarray(n, jnp.int32))
+    scores, idx, ok = _replicate_for_host(mesh, scores, idx, ok)
     scores, idx = scores[:m], idx[:m]
     if method in ("certified", "certified-bf16"):
         bad = np.flatnonzero(~np.asarray(ok)[:m])
