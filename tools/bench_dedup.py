@@ -174,7 +174,7 @@ def main() -> int:
     baseline_qps_at_n = nb / (bt * (args.n / nb))  # scale O(N^2) to full N
 
     verified = None
-    if args.verify and args.verify_sample:
+    if args.verify_sample:  # implies --verify: the user asked to verify
         # Host-numpy ground truth on sampled rows: independent of the whole
         # TPU stack, and usable at corpus sizes where a full-width exact
         # lax.top_k crashes the worker (observed at 1M-wide rows).
@@ -212,7 +212,9 @@ def main() -> int:
                     tw = truth[r_local][want]
                     cut = np.sort(tw)[-args.k]
                     want = want[tw > cut + 5e-5]
-                got = set(i_m[r][s_m[r] >= thr - 1e-5].tolist())
+                # 5e-5 window = the cross-program score tolerance (two
+                # different XLA programs each carry <=2e-5 vs true f32)
+                got = set(i_m[r][s_m[r] >= thr - 5e-5].tolist())
                 missing = [int(j) for j in want if int(j) not in got]
                 assert not missing, (int(r), missing)
                 n_hits += len(want)
@@ -247,7 +249,7 @@ def main() -> int:
                 ms, mi = s_m[lo:hi], i_m[lo:hi]
                 same_id = xi[:, :, None] == mi[:, None, :]  # (rows, k, k)
                 hit_x = xs >= thr                           # exact hits
-                cand_m = ms >= thr - 1e-5                   # timed candidates
+                cand_m = ms >= thr - 5e-5  # cross-program score tolerance
                 found = (same_id & cand_m[:, None, :]).any(-1)
                 missing = hit_x & ~found
                 assert not missing.any(), (

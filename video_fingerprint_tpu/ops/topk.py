@@ -49,7 +49,7 @@ host-side handles that, exactly like the reference.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -229,7 +229,6 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
     if lowp and thr is None:
         raise ValueError("lowp first pass requires a threshold certificate")
     sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
-    thr_eff = None if thr is None else (thr - _BF16_DOT_EPS if lowp else thr)
 
     def block_fn(qb):
         # lowp materializes sims in bf16: the count below is a second
@@ -250,23 +249,13 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
             # values (a boundary item rounding up in one domain can mask a
             # genuine miss — observed on chip at 100k before this barrier).
             sims = jax.lax.optimization_barrier(sims)
-        s, i = jax.lax.approx_max_k(sims, k, recall_target=recall)
-        if lowp:
-            # comparisons promote bf16 to f32; s elements are copies of
-            # sims elements, so both counts see identical values.
-            n_thr = jnp.sum(sims >= thr_eff, axis=1)
-            ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (n_thr < k)
-            return s.astype(jnp.float32), i, ok
-        s_k = s[:, k - 1]
-        strict = (jnp.sum(sims > s_k[:, None], axis=1)
-                  == jnp.sum(s > s_k[:, None], axis=1))
-        if thr is None:
-            ok = strict
-        else:
-            n_thr = jnp.sum(sims >= thr_eff, axis=1)
-            ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (
-                (n_thr < k) | strict)
-        return s, i, ok
+        # selection + certificate shared with the sharded paths (one
+        # implementation to keep the on-chip-proven soundness rules — the
+        # barrier above, the bf16-grid comparison — from diverging)
+        s, i, ok = _tile_topk(sims, k,
+                              "certified-bf16" if lowp else "certified",
+                              recall, thr)
+        return s.astype(jnp.float32), i, ok
 
     scores, idx, ok = jax.lax.map(block_fn, q_blocks)
     return (scores.reshape(m_pad, k)[:m], idx.reshape(m_pad, k)[:m],
@@ -526,6 +515,17 @@ def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
     s, j = jax.lax.approx_max_k(sims, local_k, recall_target=recall)
     if method == "certified-bf16":
         thr_eff = thr - _BF16_DOT_EPS
+        # NB comparison dtype: a weakly-typed Python float compares in the
+        # ARRAY's dtype, so `>= thr_eff` rounds thr_eff to bf16. Sound
+        # because sims values lie ON the bf16 grid: no grid point falls
+        # strictly between thr_eff and round-to-nearest(thr_eff), so
+        # {x_grid >= round(t)} == {x_grid >= t} — the rounded comparison
+        # selects exactly the same set. The argument needs grid-valued
+        # operands: reusing this pattern where the compared values are NOT
+        # bf16 (or casting sims to f32 first) would silently narrow the
+        # widened certificate below the proven _BF16_DOT_EPS bound. s
+        # elements are exact copies of sims elements (the caller's
+        # barrier'd buffer), so both counts see identical values.
         n_thr = jnp.sum(sims >= thr_eff, axis=1)
         ok = (n_thr == jnp.sum(s >= thr_eff, axis=1)) & (n_thr < local_k)
         return s, j, ok
@@ -651,12 +651,20 @@ def _replicate_for_host(mesh: Mesh, *arrays):
     all-gather over DCN; no-op (returns inputs) in a single process."""
     if jax.process_count() == 1:
         return arrays if len(arrays) > 1 else arrays[0]
+    out = _replicate_jit(mesh, len(arrays))(*arrays)
+    return out if len(arrays) > 1 else out[0]
+
+
+@lru_cache(maxsize=None)
+def _replicate_jit(mesh: Mesh, n_arrays: int):
+    """One cached jitted identity per (mesh, arity): a fresh jax.jit(lambda)
+    per call would defeat the function-identity jit cache and re-trace the
+    all-gather on every search of a repeated-search workload."""
     from jax.sharding import NamedSharding
 
     repl = NamedSharding(mesh, P())
-    out = jax.jit(lambda *xs: xs,
-                  out_shardings=tuple(repl for _ in arrays))(*arrays)
-    return out if len(arrays) > 1 else out[0]
+    return jax.jit(lambda *xs: xs,
+                   out_shardings=tuple(repl for _ in range(n_arrays)))
 
 
 def _resolve_sharded_method(method: str, shard_rows: int, local_k: int,
@@ -727,15 +735,21 @@ def sharded_topk_cosine(
     per_shard = (n + d - 1) // d
     query_block = min(query_block, ((per_shard + 7) // 8) * 8)
     corpus, n_pad = _pad_rows(embeddings.astype(jnp.float32), d * query_block)
-    if jax.process_count() > 1 and not (
-            hasattr(corpus, "sharding")
+    if not (hasattr(corpus, "sharding")
             and getattr(corpus.sharding, "mesh", None) == mesh):
-        # multi-process: _pad_rows commits to the LOCAL default device; the
-        # shard_map needs a global row-sharded array every process can feed
+        # Stage the padded corpus row-sharded ONCE, up front: the ring
+        # program needs it in this layout anyway, and the repair branch
+        # below re-feeds it (its device_put is then a true no-op instead of
+        # an O(N·D) reshard copy per repaired search).
         from jax.sharding import NamedSharding
 
-        corpus = jax.device_put(np.asarray(corpus),
-                                NamedSharding(mesh, P(axis_name, None)))
+        sh = NamedSharding(mesh, P(axis_name, None))
+        if jax.process_count() > 1:
+            # cross-process placement needs the host value (a local
+            # committed array cannot be auto-resharded onto a global mesh)
+            corpus = jax.device_put(np.asarray(corpus), sh)
+        else:
+            corpus = jax.device_put(corpus, sh)  # device-to-device
     shard_rows = n_pad // d
 
     local_k = min(k, shard_rows)

@@ -558,7 +558,21 @@ class Trainer:
             # counters start fresh (reference train.py:703 restores them from
             # its own format only; fine-tuning a reference model here is the
             # migration workflow — docs/MIGRATION.md "Checkpoints").
-            variables, _ = ckpt.load_any(p)
+            variables, ckpt_config = ckpt.load_any(p)
+            # Fail loudly on an architecture mismatch NOW, not at the first
+            # jitted step (a 3D checkpoint into an attention trainer would
+            # otherwise surface as a cryptic flax missing-param error — or
+            # train silently wrong if the trees happened to align).
+            ckpt_type = (ckpt_config or {}).get("model_type")
+            norm = {"cnn3d": "3d"}
+            if ckpt_type is not None and (
+                    norm.get(ckpt_type, ckpt_type)
+                    != norm.get(self.config.model_type,
+                                self.config.model_type)):
+                raise ValueError(
+                    f"checkpoint {p} was trained with model_type="
+                    f"{ckpt_type!r} but this run uses "
+                    f"--model {self.config.model_type!r}")
             self.state = self.dp.replicate(
                 TrainState(
                     params=variables["params"],
