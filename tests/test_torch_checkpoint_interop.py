@@ -230,3 +230,41 @@ def test_trainer_warm_start_from_pth(torch_ckpt, tmp_path):
     # counters and schedule start fresh: the .pth's epoch=3/step=42 ignored
     assert trainer.epoch == 0
     assert int(jax.device_get(trainer.state.step)) == 0
+
+
+def test_trainer_resume_rejects_wrong_model_type(torch_ckpt, tmp_path):
+    """Resuming/warm-starting from a checkpoint of the OTHER architecture
+    must fail loudly at resume time with a clear message, not at the first
+    jitted step inside XLA (trainer._check_ckpt_model_type)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.checkpoint import save_checkpoint
+    from video_fingerprint_tpu.training.trainer import Trainer
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=4, num_frames=16, duplicates=0)
+    config = {
+        "batch_size": 2, "epochs": 1, "learning_rate": 1e-3,
+        "frame_size": 64, "max_frames": 16, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256, "min_extract_ratio": 0.5,
+        "model_type": "attention", "device": "cpu", "seed": 0,
+    }
+    model = create_model("attention")
+    loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=2, num_workers=0, max_frames=16,
+        mode="val", model_type="attention",
+    )
+    trainer = Trainer(model, loader, loader, config, tmp_path / "run")
+
+    m3d = create_model("3d")
+    v3d = m3d.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 16, 64, 64, 3), jnp.float32))
+    bad = tmp_path / "wrong.ckpt"
+    save_checkpoint(bad, v3d["params"], v3d["batch_stats"],
+                    {"model_type": "3d", "frame_size": 64})
+    with pytest.raises(ValueError, match="model_type"):
+        trainer.resume(str(bad))

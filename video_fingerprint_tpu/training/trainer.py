@@ -550,6 +550,21 @@ class Trainer:
                     json.dumps(metrics, indent=2, default=float)
                 )
 
+    def _check_ckpt_model_type(self, ckpt_config, path):
+        """Fail loudly on an architecture mismatch at resume time, not at
+        the first jitted step (a 3D checkpoint into an attention trainer
+        otherwise surfaces as a cryptic flax missing-param error deep in
+        XLA — or trains silently wrong if the param trees happen to
+        align)."""
+        ckpt_type = (ckpt_config or {}).get("model_type")
+        norm = {"cnn3d": "3d"}
+        mine = self.model_type
+        if ckpt_type is not None and (
+                norm.get(ckpt_type, ckpt_type) != norm.get(mine, mine)):
+            raise ValueError(
+                f"checkpoint {path} was trained with model_type="
+                f"{ckpt_type!r} but this run uses --model {mine!r}")
+
     def resume(self, checkpoint_path):
         p = Path(checkpoint_path)
         if p.suffix == ".pth" or (p.is_file() and ckpt._looks_like_torch(p)):
@@ -559,20 +574,7 @@ class Trainer:
             # its own format only; fine-tuning a reference model here is the
             # migration workflow — docs/MIGRATION.md "Checkpoints").
             variables, ckpt_config = ckpt.load_any(p)
-            # Fail loudly on an architecture mismatch NOW, not at the first
-            # jitted step (a 3D checkpoint into an attention trainer would
-            # otherwise surface as a cryptic flax missing-param error — or
-            # train silently wrong if the trees happened to align).
-            ckpt_type = (ckpt_config or {}).get("model_type")
-            norm = {"cnn3d": "3d"}
-            if ckpt_type is not None and (
-                    norm.get(ckpt_type, ckpt_type)
-                    != norm.get(self.config.model_type,
-                                self.config.model_type)):
-                raise ValueError(
-                    f"checkpoint {p} was trained with model_type="
-                    f"{ckpt_type!r} but this run uses "
-                    f"--model {self.config.model_type!r}")
+            self._check_ckpt_model_type(ckpt_config, p)
             self.state = self.dp.replicate(
                 TrainState(
                     params=variables["params"],
@@ -592,6 +594,7 @@ class Trainer:
             payload = ckpt.load_checkpoint_orbax(checkpoint_path)
         else:
             payload = ckpt.load_checkpoint(checkpoint_path)
+        self._check_ckpt_model_type(payload.get("config"), p)
         model_vars = payload["model"]
         train = payload["train"]
         opt_state = serialization.from_state_dict(
