@@ -628,3 +628,247 @@ def test_query_slabbing_matches_single_dispatch(embeddings, monkeypatch):
                                   recall_target=0.7)
     np.testing.assert_allclose(np.sort(np.asarray(cs), 1),
                                np.sort(np.asarray(ref_s), 1), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# bf16-RESIDENT corpus storage (half the HBM residency / index bytes; all
+# contracts hold w.r.t. the STORED quantized vectors)
+# ---------------------------------------------------------------------------
+
+
+def _quantized(e):
+    """Raw stored values: f32 view of the bf16-rounded rows."""
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.asarray(e, jnp.bfloat16), np.float32)
+
+
+def _qdirs(e):
+    """The bf16-storage ground-truth DOMAIN: bf16 storage stores directions
+    and every search renormalizes with exact f32 row norms, so truth is the
+    unit-normalized quantized rows (cosines of the stored vectors)."""
+    q = _quantized(e)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def test_bf16_store_eps_bound_is_rigorous():
+    """_BF16_STORE_EPS must dominate the bf16-RESIDENT pipeline error vs the
+    COSINE truth of the stored vectors: inputs already bf16 (no
+    input-rounding term), f32 accumulation, exact-f32-norm rescale, result
+    stored bf16 (the lowp materialization)."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import _BF16_STORE_EPS
+
+    rng = np.random.default_rng(17)
+    for dim in (64, 256, 1024):
+        x = rng.normal(size=(512, dim))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        xq = _quantized(x)
+        xd = xq.astype(np.float64)
+        truth = (xd / np.linalg.norm(xd, axis=1, keepdims=True)) @ (
+            xd / np.linalg.norm(xd, axis=1, keepdims=True)).T
+        # the pipeline: f32 matmul of bf16 values, f32 rsqrt-norm rescale,
+        # bf16 storage of the scaled cosine
+        rn = 1.0 / np.linalg.norm(xq, axis=1).astype(np.float32)
+        scaled = ((xq @ xq.T) * rn[None, :] * rn[:, None]).astype(np.float32)
+        noisy = np.asarray(jnp.asarray(scaled, jnp.bfloat16), np.float32)
+        err = float(np.abs(noisy - truth).max())
+        assert err < _BF16_STORE_EPS, (dim, err)
+
+
+def test_bf16_resident_exact_duplicates_score_one():
+    """The regression the /verify run caught: byte-identical videos produce
+    identical embeddings, and RAW bf16 inner products sat ~0.4% below 1.0
+    (non-unit stored rows), breaking duplicate grouping at thresholds
+    >= 0.999. With direction storage + exact-f32-norm rescale, identical
+    stored rows must score 1.0 to within one f32 ulp on every path (the
+    rsqrt/multiply roundings cost ~6e-8; quantization cost them ~4e-3)."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import topk_search
+    from video_fingerprint_tpu.ops.topk import sharded_topk_cosine
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(23)
+    e = rng.normal(size=(64, 32)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    e[17] = e[3]  # byte-identical duplicate pair
+    e16 = jnp.asarray(e, jnp.bfloat16)
+    for method, kw in [("exact", {}),
+                       ("certified", {"recall_target": 0.7}),
+                       ("certified-bf16", {"exact_above": 0.999999})]:
+        s, i = topk_search(e16, e16, 2, query_block=32, method=method, **kw)
+        s, i = np.asarray(s), np.asarray(i)
+        # row 3's top-2 are itself and row 17, both at 1.0 within an ulp
+        assert set(i[3].tolist()) == {3, 17}, (method, i[3])
+        np.testing.assert_allclose(s[3], [1.0, 1.0], atol=1e-6)
+        assert (s[3] >= 0.999999).all(), (method, s[3])
+    s, i = sharded_topk_cosine(e16, 2, mesh=make_mesh("corpus"),
+                               query_block=8)
+    assert set(np.asarray(i)[3].tolist()) == {3, 17}
+    np.testing.assert_allclose(np.asarray(s)[3], [1.0, 1.0], atol=1e-6)
+
+
+def test_bf16_resident_exact_matches_quantized_oracle(embeddings):
+    """topk_search with a bf16-resident corpus returns the exact top-k of
+    the STORED vectors (bf16 products are exact in f32 accumulation)."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import topk_search
+
+    eq = _qdirs(embeddings)
+    e16 = jnp.asarray(embeddings, jnp.bfloat16)
+    k = 20
+    s, i = topk_search(e16, e16, k, query_block=128, method="exact")
+    sims = eq @ eq.T
+    o_idx = np.argsort(-sims, axis=1)[:, :k]
+    o_scores = np.take_along_axis(sims, o_idx, axis=1)
+    np.testing.assert_allclose(np.asarray(s), o_scores, atol=2e-5)
+    chosen = np.take_along_axis(sims, np.asarray(i), axis=1)
+    np.testing.assert_allclose(chosen, o_scores, atol=2e-5)
+
+
+def test_bf16_resident_certified_matches_exact(embeddings):
+    """Strict certificate + repair on a bf16-resident corpus: exact score
+    multiset of the stored vectors (low recall forces the repair path)."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import topk_search
+
+    e16 = jnp.asarray(embeddings, jnp.bfloat16)
+    k = 20
+    s_ref, _ = topk_search(e16, e16, k, query_block=128, method="exact")
+    s, i = topk_search(e16, e16, k, query_block=128, method="certified",
+                       recall_target=0.7)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s), 1), np.sort(np.asarray(s_ref), 1), atol=1e-6)
+
+
+def test_bf16_resident_certified_bf16_complete():
+    """The production thresholded search on a bf16-resident planted corpus:
+    candidate-complete above thr w.r.t. the quantized truth, scores within
+    the rescore contract of the quantized sims."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import jax.numpy as jnp
+    from tools.exp_topk_precision import make_corpus
+    from video_fingerprint_tpu.ops.topk import topk_search
+
+    e = make_corpus(600, 64, seed=5)
+    eq = _qdirs(e)
+    e16 = jnp.asarray(e, jnp.bfloat16)
+    k, thr = 20, 0.95
+    s, i = topk_search(e16, e16, k, query_block=128,
+                       method="certified-bf16", exact_above=thr)
+    s, i = np.asarray(s), np.asarray(i)
+    sims = eq @ eq.T
+    for row in range(len(e)):
+        want = set(np.flatnonzero(sims[row] >= thr).tolist())
+        if len(want) >= k:
+            top = np.sort(sims[row])[::-1][:k]
+            np.testing.assert_allclose(np.sort(s[row])[::-1], top, atol=2e-5)
+        else:
+            got = {int(j) for ss, j in zip(s[row], i[row]) if ss >= thr - 2e-5}
+            assert want <= got, (row, want - got)
+    chosen = np.take_along_axis(sims, i, axis=1)
+    live = np.isfinite(s)
+    np.testing.assert_allclose(s[live], chosen[live], atol=2e-5)
+
+
+def test_stage_padded_corpus_bf16_roundtrip(embeddings):
+    """dtype='bf16' staging: half the bytes, bucket-padded, and searches
+    against it match the quantized oracle through the n_valid path."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import (_bucket_rows, topk_search,
+                                                stage_padded_corpus)
+
+    staged, n = stage_padded_corpus(embeddings, dtype="bf16")
+    assert staged.dtype == jnp.bfloat16
+    assert n == len(embeddings)
+    assert staged.shape[0] == _bucket_rows(n)
+    eq = _qdirs(embeddings)
+    k = 10
+    s, i = topk_search(jnp.asarray(eq[:37], jnp.bfloat16), staged, k,
+                       n_valid=n, query_block=64, method="exact")
+    sims = eq[:37] @ eq.T
+    o_scores = np.take_along_axis(
+        sims, np.argsort(-sims, axis=1)[:, :k], axis=1)
+    np.testing.assert_allclose(np.asarray(s), o_scores, atol=2e-5)
+
+
+def test_sharded_bf16_resident_matches_quantized_oracle(embeddings):
+    """Both sharded paths on a bf16-resident corpus over the 8-dev mesh:
+    results match the quantized-truth oracle; certified repairs forced."""
+    import jax.numpy as jnp
+    from video_fingerprint_tpu.ops.topk import (sharded_topk_cosine,
+                                                sharded_topk_search,
+                                                stage_sharded_corpus)
+    from video_fingerprint_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh("corpus")
+    eq = _qdirs(embeddings)
+    k = 20
+    sims = eq @ eq.T
+    o_scores = np.take_along_axis(
+        sims, np.argsort(-sims, axis=1)[:, :k], axis=1)
+
+    # ring self-search, exact + certified (repairs forced at recall 0.7)
+    e16 = jnp.asarray(embeddings, jnp.bfloat16)
+    s, i = sharded_topk_cosine(e16, k, mesh=mesh, query_block=64)
+    np.testing.assert_allclose(np.asarray(s), o_scores, atol=2e-5)
+    s, _ = sharded_topk_cosine(e16, k, mesh=mesh, query_block=64,
+                               method="certified", recall_target=0.7)
+    np.testing.assert_allclose(np.sort(np.asarray(s), 1),
+                               np.sort(o_scores, 1), atol=2e-5)
+
+    # query-vs-corpus against a bf16-staged corpus
+    staged = stage_sharded_corpus(embeddings, mesh, dtype="bf16")
+    assert staged[0].dtype == jnp.bfloat16
+    q = eq[:45]
+    s, i = sharded_topk_search(q, staged, k, mesh=mesh)
+    qsims = q @ eq.T
+    oq = np.take_along_axis(qsims, np.argsort(-qsims, axis=1)[:, :k], axis=1)
+    np.testing.assert_allclose(np.asarray(s), oq, atol=2e-5)
+    # thresholded certified-bf16 on the staged corpus keeps completeness
+    thr = 0.9
+    s, i = sharded_topk_search(q, staged, k, mesh=mesh,
+                               method="certified-bf16", exact_above=thr)
+    s, i = np.asarray(s), np.asarray(i)
+    for row in range(len(q)):
+        want = set(np.flatnonzero(qsims[row] >= thr).tolist())
+        if len(want) < k:
+            got = {int(j) for ss, j in zip(s[row], i[row])
+                   if ss >= thr - 2e-5}
+            assert want <= got, (row, want - got)
+
+
+def test_fingerprint_index_bf16_storage(tmp_path, embeddings):
+    """storage='bf16': half-size disk format round-trips (idempotent
+    quantization), search matches the quantized-truth oracle, and loading
+    restores the storage mode."""
+    from video_fingerprint_tpu.inference.index import FingerprintIndex
+
+    idx = FingerprintIndex(dim=64, storage="bf16")
+    idx.add(embeddings, [{"path": f"/v/{i}.mp4"} for i in range(len(embeddings))])
+    p16, p32 = tmp_path / "c16.npz", tmp_path / "c32.npz"
+    idx.save(p16)
+    f32_idx = FingerprintIndex(dim=64)
+    f32_idx.add(embeddings)
+    f32_idx.save(p32)
+    assert p16.stat().st_size < 0.75 * p32.stat().st_size
+
+    loaded = FingerprintIndex.load(p16)
+    assert loaded.storage == "bf16"
+    assert len(loaded) == len(embeddings)
+    eq = _quantized(embeddings)
+    np.testing.assert_array_equal(loaded._flat_embeddings(), eq)
+    eqd = _qdirs(embeddings)
+    # idempotent re-save: quantizing quantized values changes nothing
+    loaded.save(p16)
+    np.testing.assert_array_equal(
+        FingerprintIndex.load(p16)._flat_embeddings(), eq)
+
+    k = 10
+    s, i = loaded.search(eq[:25], k=k)
+    sims = eqd[:25] @ eqd.T
+    o = np.take_along_axis(sims, np.argsort(-sims, axis=1)[:, :k], axis=1)
+    np.testing.assert_allclose(s, o, atol=2e-5)

@@ -71,6 +71,14 @@ def main() -> int:
                              "composes with --planted (device-side cluster "
                              "construction) and --verify_sample (one D2H "
                              "pull after timing)")
+    parser.add_argument("--corpus_dtype", choices=("f32", "bf16"),
+                        default="f32",
+                        help="bf16 keeps the corpus RESIDENT in bfloat16 — "
+                             "half the HBM (an 8M x 256 corpus fits one "
+                             "16 GB chip) and half the forced sims traffic; "
+                             "all contracts hold w.r.t. the stored "
+                             "(quantized) vectors and verification checks "
+                             "against the quantized host truth")
     args = parser.parse_args()
 
     if args.cpu:
@@ -86,22 +94,43 @@ def main() -> int:
     if args.device_corpus:
         import jax.numpy as jnp
 
-        k0, k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(0), 5)
-        e = jax.random.normal(k0, (args.n, args.dim), jnp.float32)
-        if args.planted:
-            # device port of exp_topk_precision.make_corpus: ~10% of rows
-            # in near-dup clusters with cosines straddling 0.93-0.995, so
-            # thresholded verification has real cross-row hits at any scale
-            n_clusters = max(1, args.n // 40)
-            rows = args.n // 10
-            base = jax.random.normal(k1, (n_clusters, args.dim), jnp.float32)
-            which = jax.random.randint(k2, (rows,), 0, n_clusters)
-            s = jax.random.uniform(k3, (rows, 1), jnp.float32,
-                                   minval=0.1, maxval=0.4)
-            e = e.at[:rows].set(
-                base[which]
-                + s * jax.random.normal(k4, (rows, args.dim), jnp.float32))
-        e = e / jnp.linalg.norm(e, axis=1, keepdims=True)
+        def gen_f32(n_rows, key_seed):
+            k0, k1, k2, k3, k4 = jax.random.split(
+                jax.random.PRNGKey(key_seed), 5)
+            x = jax.random.normal(k0, (n_rows, args.dim), jnp.float32)
+            if args.planted and key_seed == 0:
+                # device port of exp_topk_precision.make_corpus: ~10% of ALL
+                # rows in near-dup clusters with cosines straddling
+                # 0.93-0.995, so thresholded verification has real cross-row
+                # hits at any scale. Planted rows always live in the FIRST
+                # slab (key_seed 0): n//10 < the 1M slab size at every
+                # slabbed scale.
+                n_clusters = max(1, args.n // 40)
+                rows = min(args.n // 10, n_rows)
+                base = jax.random.normal(k1, (n_clusters, args.dim),
+                                         jnp.float32)
+                which = jax.random.randint(k2, (rows,), 0, n_clusters)
+                s = jax.random.uniform(k3, (rows, 1), jnp.float32,
+                                       minval=0.1, maxval=0.4)
+                x = x.at[:rows].set(
+                    base[which]
+                    + s * jax.random.normal(k4, (rows, args.dim),
+                                            jnp.float32))
+            return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+        slab = 1 << 20
+        if args.corpus_dtype == "bf16" and args.n > 2 * slab:
+            # slab-generate straight into bf16: a multi-M f32 intermediate
+            # (normal draw + normalize copy) would exceed HBM at the very
+            # scales bf16 residency exists to reach (8M f32 gen ~ 16.6 GB)
+            parts = [gen_f32(min(slab, args.n - s0),
+                             s0).astype(jnp.bfloat16)
+                     for s0 in range(0, args.n, slab)]
+            assert args.n // 10 <= slab, "planted rows must fit slab 0"
+            e = jnp.concatenate(parts)
+            del parts
+        else:
+            e = gen_f32(args.n, 0)
     elif args.planted:
         from tools.exp_topk_precision import make_corpus
 
@@ -111,6 +140,14 @@ def main() -> int:
         e = rng.normal(size=(args.n, args.dim)).astype(np.float32)
         e /= np.linalg.norm(e, axis=1, keepdims=True)
 
+    if args.corpus_dtype == "bf16":
+        # quantize BEFORE staging: the stored vectors are the ground truth
+        # for every verification below (host copies are f32 views of them)
+        import jax.numpy as jnp
+
+        e = (e.astype(jnp.bfloat16) if isinstance(e, jax.Array)
+             else np.asarray(jnp.asarray(e, jnp.bfloat16)))
+
     multi = len(jax.devices()) > 1 or args.ring
     fn = partial(
         sharded_topk_cosine if multi else topk_cosine,
@@ -118,15 +155,20 @@ def main() -> int:
         query_block=args.query_block,
     )
 
+    def to_host_f32(x):
+        # host truth/baseline math runs in f32 — for a bf16 corpus these
+        # are the exact f32 values of the stored (quantized) vectors
+        return np.asarray(x).astype(np.float32, copy=False)
+
     if args.device_corpus and args.verify_sample:
         # host ground truth needs the whole corpus on host: one D2H pull
         # (~2 min for 4 GB through the dev tunnel), AFTER timing
         e_host = None  # pulled lazily below, post-timing
     elif args.device_corpus:
         # the host-numpy baseline leg only needs its first baseline_n rows
-        e_host = np.asarray(e[:min(args.baseline_n, args.n)])
+        e_host = to_host_f32(e[:min(args.baseline_n, args.n)])
     else:
-        e_host = e  # the host-numpy baseline must stay on host
+        e_host = to_host_f32(e)  # the host-numpy baseline stays on host
     # stage the corpus in HBM once — the production scanner's embeddings
     # already live on device; re-uploading ~100MB+ per timed call would
     # measure the host link, not the search (measured: un-staged ring legs
@@ -159,9 +201,11 @@ def main() -> int:
         # --device_corpus + --verify_sample: pull the corpus to host ONCE,
         # after timing (ground truth must be independent of the TPU stack)
         t0 = time.perf_counter()
-        e_host = np.asarray(e)
-        print(f"# corpus D2H for verification: {e_host.nbytes / 1e9:.1f} GB "
+        pulled = np.asarray(e)  # bf16 corpora transfer at half the bytes
+        print(f"# corpus D2H for verification: {pulled.nbytes / 1e9:.1f} GB "
               f"in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+        e_host = to_host_f32(pulled)
+        del pulled
 
     # host-numpy baseline on a smaller corpus, scaled by N (O(N^2) work)
     nb = min(args.baseline_n, args.n)
@@ -198,8 +242,11 @@ def main() -> int:
         else:
             rows = vrng.choice(args.n, size=n_sample, replace=False)
         max_d, n_hits = 0.0, 0
-        for lo in range(0, len(rows), 256):
-            sel = rows[lo:lo + 256]
+        # cap one (chunk, N) host-truth block at ~2 GB: 256 rows x an 8M
+        # corpus would be 8.3 GB of host RAM
+        chunk = max(8, min(256, int(2e9 / (4 * args.n))))
+        for lo in range(0, len(rows), chunk):
+            sel = rows[lo:lo + chunk]
             truth = e_host[sel] @ e_host.T  # (chunk, N) f32 BLAS
             for r_local, r in enumerate(sel):
                 want = np.flatnonzero(truth[r_local] >= thr)
@@ -275,11 +322,15 @@ def main() -> int:
         # TPU past the 16k per-shard sort knee, exact otherwise.
         "method": args.method,
         "exact_above": args.exact_above,
+        "corpus_dtype": args.corpus_dtype,
         "verified": verified,
         "config": (("ring-sharded" if multi else "single chip")
                    + f" top-k, method={args.method}, "
                    + ("bf16 first pass + HIGH rescore"
-                      if args.method == "certified-bf16" else "HIGH matmul")),
+                      if args.method == "certified-bf16" else "HIGH matmul")
+                   + (", bf16-RESIDENT corpus (contracts w.r.t. the stored "
+                      "quantized vectors)"
+                      if args.corpus_dtype == "bf16" else "")),
     }))
     return 0
 

@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "a previous --index scan) and report "
                              "cross-duplicates instead of duplicates within "
                              "the scanned folder")
+    parser.add_argument("--index_storage", choices=("f32", "bf16"),
+                        default="f32",
+                        help="Embedding storage for the saved --index: bf16 "
+                             "halves the file and the on-device corpus "
+                             "(~8M videos/chip vs ~4M in f32); search stays "
+                             "exhaustive w.r.t. the stored vectors, scores "
+                             "move by <= ~0.008 (docs/DESIGN.md)")
     parser.add_argument("--no_prune", action="store_true",
                         help="Keep index entries for files that are missing "
                              "on disk (shared/networked indexes where a "
@@ -176,7 +183,8 @@ def main(argv=None) -> int:
         if pruned:
             print(f"Pruned {pruned} index entries for deleted files")
         save_cache(args.index, {**kept_prior, **fingerprints},
-                   model_identity=scanner.model_identity)
+                   model_identity=scanner.model_identity,
+                   storage=args.index_storage)
         print(f"Scan index saved to {args.index}")
 
     if corpus_index is not None:

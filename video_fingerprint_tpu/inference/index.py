@@ -2,8 +2,10 @@
 
 The reference's scale path is `faiss.IndexFlatIP` + `index.search`
 (fingerprint.py:524-528); this is the same surface backed by on-TPU matmul
-top-k, plus persistence. Exact inner-product search (no quantization), which
-is what the reference used too.
+top-k, plus persistence. Exact inner-product search by default (no
+quantization — what the reference used too); `storage="bf16"` opts into
+half-size storage on device and disk, with every search contract holding
+w.r.t. the stored vectors (FAISS SQfp16's trade, but with a stated bound).
 
 This is also THE corpus persistence format: one .npz holding the embedding
 matrix, the per-video metadata (path/size/md5 — the same content as the
@@ -49,8 +51,18 @@ class FingerprintIndex:
         dim: int = 256,
         device: Optional[object] = None,
         model_identity: Optional[dict] = None,
+        storage: str = "f32",
     ):
+        """storage="bf16" stores the corpus in bfloat16 — on device (half
+        the HBM residency: ~8M×256 clips fit a 16 GB v5e vs ~4M in f32) and
+        on disk (half the .npz embedding bytes). All search contracts hold
+        w.r.t. the stored vectors; quantizing a unit-norm embedding perturbs
+        any cosine by <= ~0.008 (ops/topk.py::stage_padded_corpus), the same
+        trade as FAISS's SQfp16. Host-side copies stay f32."""
+        if storage not in ("f32", "bf16"):
+            raise ValueError(f"storage must be 'f32' or 'bf16', got {storage!r}")
         self.dim = dim
+        self.storage = storage
         self.model_identity = dict(model_identity or {})
         self._device = device  # resolved lazily: load/save must not touch jax
         self._chunks: list[np.ndarray] = []
@@ -140,7 +152,8 @@ class FingerprintIndex:
             if not self._chunks:
                 raise ValueError("index is empty")
             self._staged = stage_padded_corpus(
-                self._flat_embeddings(), self.device
+                self._flat_embeddings(), self.device,
+                dtype="bf16" if self.storage == "bf16" else None,
             )
             self._dirty = False
         return self._staged
@@ -179,7 +192,8 @@ class FingerprintIndex:
                 from video_fingerprint_tpu.parallel.mesh import make_mesh
 
                 self._staged_sharded = stage_sharded_corpus(
-                    self._flat_embeddings(), make_mesh("corpus")
+                    self._flat_embeddings(), make_mesh("corpus"),
+                    dtype="bf16" if self.storage == "bf16" else None,
                 )
                 # _dirty is shared with _corpus(): drop its stale cache too
                 self._staged = None
@@ -197,28 +211,49 @@ class FingerprintIndex:
         return np.asarray(scores), np.asarray(idx)
 
     def save(self, path) -> None:
-        """Atomic write: embeddings + meta JSON + model-identity JSON."""
+        """Atomic write: embeddings + meta JSON + model-identity JSON.
+        storage="bf16" writes the quantized matrix as a uint16 bit view
+        (np.savez cannot hold ml_dtypes natively under allow_pickle=False) —
+        half the embedding bytes; save/load round-trips are idempotent
+        (re-quantizing quantized values is the identity)."""
         path = Path(path)
         tmp = path.with_suffix(path.suffix + ".tmp")
+        arrays = {
+            "meta": np.array(json.dumps(self._meta)),
+            "model_identity": np.array(json.dumps(self.model_identity)),
+        }
+        if self.storage == "bf16":
+            import ml_dtypes
+
+            arrays["embeddings_bf16"] = (
+                self._flat_embeddings().astype(ml_dtypes.bfloat16)
+                .view(np.uint16))
+        else:
+            arrays["embeddings"] = self._flat_embeddings()
         with open(tmp, "wb") as f:  # handle: savez would append ".npz" to a name
-            np.savez_compressed(
-                f,
-                embeddings=self._flat_embeddings(),
-                meta=np.array(json.dumps(self._meta)),
-                model_identity=np.array(json.dumps(self.model_identity)),
-            )
+            np.savez_compressed(f, **arrays)
         tmp.replace(path)
 
     @classmethod
     def load(cls, path, device: Optional[object] = None) -> "FingerprintIndex":
-        """Loads current and legacy formats (meta/model_identity optional)."""
+        """Loads current and legacy formats (meta/model_identity optional).
+        A bf16-format file restores storage="bf16" (host copy upcast to the
+        f32 values of the stored bf16 numbers)."""
         data = np.load(Path(path), allow_pickle=False)
-        emb = data["embeddings"]
+        storage = "f32"
+        if "embeddings_bf16" in data:
+            import ml_dtypes
+
+            storage = "bf16"
+            emb = (data["embeddings_bf16"].view(ml_dtypes.bfloat16)
+                   .astype(np.float32))
+        else:
+            emb = data["embeddings"]
         meta = json.loads(str(data["meta"])) if "meta" in data else None
         identity = (json.loads(str(data["model_identity"]))
                     if "model_identity" in data else {})
         index = cls(dim=emb.shape[1] if emb.size else 256, device=device,
-                    model_identity=identity)
+                    model_identity=identity, storage=storage)
         if emb.size:
             index.add(emb, meta)
         elif meta:

@@ -28,11 +28,13 @@ from video_fingerprint_tpu.inference.index import (
 
 
 def save_cache(path, fingerprints: Dict[str, dict],
-               model_identity: Optional[dict] = None) -> None:
-    """fingerprints: {path: {embedding, name, size, file_hash, ...}}."""
+               model_identity: Optional[dict] = None,
+               storage: str = "f32") -> None:
+    """fingerprints: {path: {embedding, name, size, file_hash, ...}}.
+    storage="bf16" halves the index file (see FingerprintIndex)."""
     dims = {len(fp["embedding"]) for fp in fingerprints.values()}
     index = FingerprintIndex(dim=dims.pop() if len(dims) == 1 else 256,
-                             model_identity=model_identity)
+                             model_identity=model_identity, storage=storage)
     index.add_fingerprints(fingerprints)
     index.save(path)
 

@@ -164,22 +164,83 @@ _SIM_PRECISION = jax.lax.Precision.HIGH
 # dtype-insensitive).
 _BF16_DOT_EPS = 0.0105
 
+# Error bound for the bf16-RESIDENT pipeline against its truth — the TRUE
+# COSINE of the stored vectors (see _row_rnorm: bf16 storage stores
+# directions; sims are rescaled by exact f32 row norms). The inputs are
+# already exactly representable, so _BF16_DOT_EPS's input-rounding term
+# vanishes; what remains is f32 accumulation over D<=1024 terms (< 1e-5),
+# the rsqrt/scale f32 roundings (~2^-22), and — lowp only — the bf16
+# rounding of the stored COSINE value (<= 2^-9 = 0.00195 for |cos| <= 1):
+# total <= 0.0021. 0.003 covers it with slack; validated empirically in
+# tests/test_topk.py. The residual storage trade a USER sees: the stored
+# direction differs from the f32 direction by an angle <= ~2^-9·sqrt(2),
+# so true cosines move by <= ~0.002 ON NON-IDENTICAL pairs — and identical
+# stored rows still score exactly 1.0 (self-search self-matches,
+# byte-identical duplicates), so exact-duplicate thresholds keep working.
+_BF16_STORE_EPS = 0.003
+
+
+def _compute_cast(x: Array) -> Array:
+    """Dtype policy for the resident similarity operands: bf16 STORAGE stays
+    bf16 — upcasting a multi-M-row corpus full-width would materialize the
+    f32 copy the storage mode exists to avoid (and jnp.dot's type promotion
+    does exactly that if only one operand is bf16) — everything else
+    becomes f32."""
+    return x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
+
+
+def _dot_precision(dtype, precision):
+    """HIGH/HIGHEST request the bf16x3/x6 f32 emulation, which only applies
+    to f32 operands; with bf16-resident operands the matmul is the single
+    native bf16 pass regardless, so request DEFAULT explicitly."""
+    return jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else precision
+
+
+def _row_rnorm(x: Array) -> Array:
+    """1/||row|| as f32, computed WITHOUT materializing an upcast copy (the
+    einsum reads bf16 directly, products are exact, accumulation is f32).
+    Zero rows (corpus padding) map to 0 so scaled sims stay finite there
+    (they are masked to -inf downstream anyway).
+
+    Why this exists: bf16 quantization makes stored rows non-unit
+    (||q(x)|| = 1 ± ~2^-9·sqrt(2) per the rounding bound), so RAW inner
+    products against a bf16-resident corpus sit ~0.4% below the true
+    cosine — enough to break exact-duplicate detection at thresholds
+    >= 0.999. bf16 storage therefore stores DIRECTIONS: every search path
+    rescales sims by these exact f32 reciprocal norms, so reported scores
+    are true cosines of the stored vectors (self-search self-matches score
+    exactly 1.0, and byte-identical duplicates group at any threshold)."""
+    norm2 = jnp.einsum("nd,nd->n", x, x,
+                       preferred_element_type=jnp.float32)
+    return jnp.where(norm2 > 0, jax.lax.rsqrt(norm2), 0.0)
+
 
 @partial(jax.jit, static_argnames=("k", "query_block", "precision"))
 def _exact_search(queries: Array, corpus: Array, n_valid: Array, k: int,
                   query_block: int = 1024, precision=_SIM_PRECISION):
     """Single-stage exact k-NN: query-tiled matmul + lax.top_k (column-
     chunked above _WIDE_TOPK_CHUNK — full-width crashes the TPU worker at
-    1M-wide rows). Corpus rows at index >= n_valid are padding, -inf."""
+    1M-wide rows). Corpus rows at index >= n_valid are padding, -inf.
+
+    A bf16 corpus stays resident in bf16 (queries are cast to match so the
+    dot is homogeneous — see _compute_cast); sims accumulate in f32, which
+    is exact for bf16 products (8-bit significands), and are rescaled by
+    exact f32 row norms (_row_rnorm), so results are the exact top-k of
+    TRUE COSINES of the stored vectors."""
     m = queries.shape[0]
-    corpus = corpus.astype(jnp.float32)
+    corpus = _compute_cast(corpus)
+    resident_bf16 = corpus.dtype == jnp.bfloat16
+    precision = _dot_precision(corpus.dtype, precision)
     col_valid = jnp.arange(corpus.shape[0]) < n_valid
-    q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
+    q, m_pad = _pad_rows(queries.astype(corpus.dtype), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
+    rnorm = _row_rnorm(corpus) if resident_bf16 else None
 
     def block_topk(qb):
         sims = jnp.dot(qb, corpus.T, precision=precision,
                        preferred_element_type=jnp.float32)
+        if resident_bf16:  # cosine domain; fused into the matmul epilogue
+            sims = sims * rnorm[None, :] * _row_rnorm(qb)[:, None]
         sims = jnp.where(col_valid[None, :], sims, _NEG)
         return _wide_topk(sims, k)
 
@@ -222,13 +283,21 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
     (`_rescore_topk`) so reported scores keep the 2e-5 contract.
     """
     m = queries.shape[0]
-    corpus = corpus.astype(jnp.float32)
+    corpus = _compute_cast(corpus)
+    resident_bf16 = corpus.dtype == jnp.bfloat16
     col_valid = jnp.arange(corpus.shape[0]) < n_valid
-    q, m_pad = _pad_rows(queries.astype(jnp.float32), query_block)
+    q, m_pad = _pad_rows(queries.astype(corpus.dtype), query_block)
     q_blocks = q.reshape(m_pad // query_block, query_block, -1)
     if lowp and thr is None:
         raise ValueError("lowp first pass requires a threshold certificate")
-    sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
+    sim_precision = (jax.lax.Precision.DEFAULT if lowp
+                     else _dot_precision(corpus.dtype, precision))
+    # bf16-resident inputs are exactly representable, so the lowp
+    # certificate only needs the accumulation + cosine-rescale + storage
+    # margin (see _BF16_STORE_EPS) — fewer rows trip the
+    # >=k-above-threshold repair rule
+    eps = _BF16_STORE_EPS if resident_bf16 else _BF16_DOT_EPS
+    rnorm = _row_rnorm(corpus) if resident_bf16 else None
 
     def block_fn(qb):
         # lowp materializes sims in bf16: the count below is a second
@@ -236,25 +305,40 @@ def _certified_search(queries: Array, corpus: Array, n_valid: Array, k: int,
         # written to and re-read from HBM, and halving those bytes is worth
         # more than the storage rounding costs in certificate width
         # (measured in tools/exp_topk_bf16sims.py).
-        sims = jnp.dot(qb, corpus.T, precision=sim_precision,
-                       preferred_element_type=(jnp.bfloat16 if lowp
-                                               else jnp.float32))
+        if resident_bf16:
+            # cosine domain: accumulate f32, rescale by exact norms in the
+            # matmul epilogue, THEN store bf16 (lowp) — the stored value is
+            # the bf16 rounding of the true cosine, which is exactly what
+            # _BF16_STORE_EPS bounds
+            sims = jnp.dot(qb, corpus.T, precision=sim_precision,
+                           preferred_element_type=jnp.float32)
+            sims = sims * rnorm[None, :] * _row_rnorm(qb)[:, None]
+            if lowp:
+                sims = sims.astype(jnp.bfloat16)
+        else:
+            sims = jnp.dot(qb, corpus.T, precision=sim_precision,
+                           preferred_element_type=(jnp.bfloat16 if lowp
+                                                   else jnp.float32))
         sims = jnp.where(col_valid[None, :], sims,
                          jnp.asarray(_NEG, sims.dtype))
-        if lowp:
-            # Force ONE materialization of the bf16 sims: with two
-            # consumers XLA may recompute the matmul for one of them at a
-            # different effective precision, and the certificate's count
-            # equality is only sound if selection and count see the SAME
-            # values (a boundary item rounding up in one domain can mask a
-            # genuine miss — observed on chip at 100k before this barrier).
+        if lowp or corpus.dtype == jnp.bfloat16:
+            # Force ONE materialization of the sims: with two consumers XLA
+            # may recompute the matmul for one of them at a different
+            # effective precision (or accumulation order), and the
+            # certificate's count equality is only sound if selection and
+            # count see the SAME values (a boundary item rounding up in one
+            # domain can mask a genuine miss — observed on chip at 100k
+            # before this barrier). Also applied to bf16-RESIDENT strict
+            # searches, whose f32-accumulated sims are recomputation-order
+            # sensitive the same way. Cost ~0: the count consumer defeats
+            # matmul+reduce fusion regardless (tools/exp_topk_bf16sims.py).
             sims = jax.lax.optimization_barrier(sims)
         # selection + certificate shared with the sharded paths (one
         # implementation to keep the on-chip-proven soundness rules — the
         # barrier above, the bf16-grid comparison — from diverging)
         s, i, ok = _tile_topk(sims, k,
                               "certified-bf16" if lowp else "certified",
-                              recall, thr)
+                              recall, thr, eps=eps)
         return s.astype(jnp.float32), i, ok
 
     scores, idx, ok = jax.lax.map(block_fn, q_blocks)
@@ -275,13 +359,23 @@ def _rescore_topk(queries: Array, corpus: Array, scores: Array, idx: Array,
         idx = jnp.pad(idx, ((0, m_pad - m), (0, 0)))
         scores = jnp.pad(scores, ((0, m_pad - m), (0, 0)),
                          constant_values=_NEG)
-    corpus = corpus.astype(jnp.float32)
+    corpus = _compute_cast(corpus)
+
+    resident_bf16 = corpus.dtype == jnp.bfloat16
 
     def block_fn(args):
         qb, ib, sb = args
-        cand = jnp.take(corpus, ib, axis=0, mode="clip")  # (block, k, D)
+        # gather first, THEN upcast: only (block, k, D) candidate rows ever
+        # become f32, never the full bf16-resident corpus
+        cand = jnp.take(corpus, ib, axis=0, mode="clip").astype(jnp.float32)
         hi = jnp.einsum("md,mkd->mk", qb, cand, precision=precision,
                         preferred_element_type=jnp.float32)
+        if resident_bf16:
+            # cosine domain (see _row_rnorm): renormalize the gathered
+            # candidate rows and the query rows with exact f32 norms
+            cn2 = jnp.sum(cand * cand, axis=-1)
+            crn = jnp.where(cn2 > 0, jax.lax.rsqrt(cn2), 0.0)
+            hi = hi * crn * _row_rnorm(qb)[:, None]
         hi = jnp.where(jnp.isneginf(sb), _NEG, hi)
         s_sorted, pos = jax.lax.top_k(hi, k)
         return s_sorted, jnp.take_along_axis(ib, pos, axis=1)
@@ -299,9 +393,15 @@ def _exact_rows_fix(queries: Array, corpus: Array, n_valid: Array,
     """Exact top-k for a fixed-size batch of gathered query rows. `rows` may
     contain out-of-range pad entries (clamped by take; dropped at scatter);
     corpus rows at index >= n_valid are padding, masked to -inf."""
-    qb = jnp.take(queries.astype(jnp.float32), rows, axis=0, mode="clip")
-    sims = jnp.dot(qb, corpus.astype(jnp.float32).T, precision=precision,
+    corpus = _compute_cast(corpus)
+    # gather the few repair rows FIRST, then cast to the corpus dtype — a
+    # full-width queries.astype would copy the whole matrix
+    qb = jnp.take(queries, rows, axis=0, mode="clip").astype(corpus.dtype)
+    sims = jnp.dot(qb, corpus.T,
+                   precision=_dot_precision(corpus.dtype, precision),
                    preferred_element_type=jnp.float32)
+    if corpus.dtype == jnp.bfloat16:  # cosine domain; see _row_rnorm
+        sims = sims * _row_rnorm(corpus)[None, :] * _row_rnorm(qb)[:, None]
     sims = jnp.where(jnp.arange(corpus.shape[0])[None, :] < n_valid,
                      sims, _NEG)
     return _wide_topk(sims, k)
@@ -314,16 +414,32 @@ def _scatter_fix(scores: Array, idx: Array, rows: Array,
             idx.at[rows].set(fix_i, mode="drop"))
 
 
-def stage_padded_corpus(corpus, device=None):
+def stage_padded_corpus(corpus, device=None, dtype=None):
     """Pad the corpus to its search bucket ONCE on host and place it on the
     device. Returns (device_array, n_true); pass both to `topk_search`
     (corpus=device_array, n_valid=n_true) so repeated searches against a
     static corpus skip the per-call O(N·D) pad copy (ADVICE r3 low:
     FingerprintIndex --against workloads re-searched a cached corpus but
-    paid jnp.concatenate each time)."""
+    paid jnp.concatenate each time).
+
+    dtype="bf16" (or jnp.bfloat16) quantizes ON HOST before the transfer —
+    half the HBM residency AND half the host→device bytes, doubling the
+    corpus size one chip can serve (a 16 GB v5e holds ~8M×256 clips in
+    bf16 plus working set vs ~4M in f32). bf16 storage stores DIRECTIONS:
+    every search rescales by exact f32 row norms (_row_rnorm), so all
+    methods keep their exact/complete contracts over the TRUE COSINES of
+    the stored vectors — identical stored rows score exactly 1.0 (exact-
+    duplicate detection survives any threshold), and non-identical cosines
+    move by <= ~0.002 vs f32 storage (FAISS's SQfp16 offers the same trade
+    with no stated bound)."""
     import jax
 
-    corpus = np.asarray(corpus, np.float32)
+    if dtype in ("bf16", "bfloat16", jnp.bfloat16):
+        import ml_dtypes
+
+        corpus = np.asarray(corpus).astype(ml_dtypes.bfloat16)
+    else:
+        corpus = np.asarray(corpus, np.float32)
     n = corpus.shape[0]
     n_pad = _bucket_rows(n)
     if n_pad != n:
@@ -408,9 +524,11 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
                 f"pre-padded corpus must have _bucket_rows({n})={n_pad} "
                 f"rows (use stage_padded_corpus), got {corpus.shape[0]}")
     elif n_pad != n:
+        cdt = (jnp.bfloat16 if getattr(corpus, "dtype", None) == jnp.bfloat16
+               else jnp.float32)
         corpus = jnp.concatenate(
-            [jnp.asarray(corpus, jnp.float32),
-             jnp.zeros((n_pad - n, corpus.shape[1]), jnp.float32)]
+            [jnp.asarray(corpus, cdt),
+             jnp.zeros((n_pad - n, corpus.shape[1]), cdt)]
         )
     n_valid = jnp.asarray(n, jnp.int32)
     if method not in ("exact", "certified"):
@@ -495,7 +613,7 @@ _RING_CACHE: dict = {}
 
 
 def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
-               thr: Optional[float]):
+               thr: Optional[float], eps: float = _BF16_DOT_EPS):
     """Per-tile candidate selection shared by both sharded paths: exact
     lax.top_k, or approx_max_k (TPU PartialReduce) + the same per-row
     exactness certificate as `_certified_search`. Returns (s, j, ok); a row
@@ -514,7 +632,10 @@ def _tile_topk(sims: Array, local_k: int, method: str, recall: float,
         return s, j, jnp.ones(sims.shape[:1], bool)
     s, j = jax.lax.approx_max_k(sims, local_k, recall_target=recall)
     if method == "certified-bf16":
-        thr_eff = thr - _BF16_DOT_EPS
+        # eps: _BF16_DOT_EPS for f32 inputs rounded by the bf16 matmul;
+        # the tighter _BF16_STORE_EPS when the operands are bf16-RESIDENT
+        # (already exactly representable — no input-rounding term)
+        thr_eff = thr - eps
         # NB comparison dtype: a weakly-typed Python float compares in the
         # ARRAY's dtype, so `>= thr_eff` rounds thr_eff to bf16. Sound
         # because sims values lie ON the bf16 grid: no grid point falls
@@ -555,11 +676,17 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
     shard_rows = n_pad // d
     perm = [(i, (i + 1) % d) for i in range(d)]
     lowp = method == "certified-bf16"
-    sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
 
     def local_fn(shard, n_valid):
         # shard: (shard_rows, D) — this device's query rows AND the corpus
         # tile it contributes to the ring. n_valid: () replicated.
+        # dtype-dependent choices happen at TRACE time from the shard (jit
+        # retraces on dtype change, so the shape-keyed _RING_CACHE stays
+        # correct across f32/bf16-resident corpora).
+        resident_bf16 = shard.dtype == jnp.bfloat16
+        sim_precision = (jax.lax.Precision.DEFAULT if lowp
+                         else _dot_precision(shard.dtype, precision))
+        eps = _BF16_STORE_EPS if resident_bf16 else _BF16_DOT_EPS
         my = jax.lax.axis_index(axis_name)
         q_blocks = shard.reshape(shard_rows // query_block, query_block, dim)
 
@@ -570,28 +697,48 @@ def _ring_topk(mesh: Mesh, axis_name: str, n_pad: int, dim: int,
             col_idx = offset + jnp.arange(shard_rows, dtype=jnp.int32)
             col_valid = col_idx < n_valid
 
+            tile_rnorm = _row_rnorm(tile) if resident_bf16 else None
+
             def block_fn(qb):
                 # lowp: bf16-materialized sims (the per-tile certificate
-                # count defeats matmul+reduce fusion; see _certified_search)
-                sims = jnp.dot(
-                    qb, tile.T,
-                    precision=sim_precision,
-                    preferred_element_type=(jnp.bfloat16 if lowp
-                                            else jnp.float32),
-                )
+                # count defeats matmul+reduce fusion; see _certified_search);
+                # bf16-resident tiles rescale to the cosine domain with
+                # exact f32 norms BEFORE any bf16 storage (see _row_rnorm)
+                if resident_bf16:
+                    sims = jnp.dot(qb, tile.T, precision=sim_precision,
+                                   preferred_element_type=jnp.float32)
+                    sims = (sims * tile_rnorm[None, :]
+                            * _row_rnorm(qb)[:, None])
+                    if lowp:
+                        sims = sims.astype(jnp.bfloat16)
+                else:
+                    sims = jnp.dot(
+                        qb, tile.T,
+                        precision=sim_precision,
+                        preferred_element_type=(jnp.bfloat16 if lowp
+                                                else jnp.float32),
+                    )
                 sims = jnp.where(col_valid[None, :], sims,
                                  jnp.asarray(_NEG, sims.dtype))
-                if lowp:  # single materialization; see _certified_search
+                if lowp or resident_bf16:
+                    # single materialization; see _certified_search
                     sims = jax.lax.optimization_barrier(sims)
-                s, j, row_ok = _tile_topk(sims, local_k, method, recall, thr)
+                s, j, row_ok = _tile_topk(sims, local_k, method, recall,
+                                          thr, eps=eps)
                 if lowp:
                     # re-score the local_k candidates at HIGH against the
-                    # RESIDENT tile (local gather, O(block*local_k*D)) so
+                    # RESIDENT tile (local gather upcast AFTER the take —
+                    # only (block, local_k, D) rows ever become f32) so
                     # the ring merges and reports HIGH-contract scores.
-                    cand = jnp.take(tile, j, axis=0, mode="clip")
-                    hi = jnp.einsum("md,mkd->mk", qb, cand,
-                                    precision=precision,
+                    cand = jnp.take(tile, j, axis=0,
+                                    mode="clip").astype(jnp.float32)
+                    hi = jnp.einsum("md,mkd->mk", qb.astype(jnp.float32),
+                                    cand, precision=precision,
                                     preferred_element_type=jnp.float32)
+                    if resident_bf16:  # cosine domain in the merge too
+                        cn2 = jnp.sum(cand * cand, axis=-1)
+                        crn = jnp.where(cn2 > 0, jax.lax.rsqrt(cn2), 0.0)
+                        hi = hi * crn * _row_rnorm(qb)[:, None]
                     s = jnp.where(jnp.isneginf(s), _NEG, hi)
                 return s, col_idx[j], row_ok
 
@@ -734,7 +881,7 @@ def sharded_topk_cosine(
     # clamp the query tile so tiny corpora don't pad to d*query_block rows
     per_shard = (n + d - 1) // d
     query_block = min(query_block, ((per_shard + 7) // 8) * 8)
-    corpus, n_pad = _pad_rows(embeddings.astype(jnp.float32), d * query_block)
+    corpus, n_pad = _pad_rows(_compute_cast(embeddings), d * query_block)
     if not (hasattr(corpus, "sharding")
             and getattr(corpus.sharding, "mesh", None) == mesh):
         # Stage the padded corpus row-sharded ONCE, up front: the ring
@@ -784,16 +931,23 @@ def sharded_topk_cosine(
 _SHARDED_SEARCH_CACHE: dict = {}
 
 
-def stage_sharded_corpus(corpus, mesh: Mesh, axis_name: str = "corpus"):
+def stage_sharded_corpus(corpus, mesh: Mesh, axis_name: str = "corpus",
+                         dtype=None):
     """Pad the corpus on HOST and place it row-sharded over the mesh — the
     full matrix is never materialized on a single device, so per-device
     memory really is O(N/d·D). Returns (device_array, n_true); pass the
     tuple to `sharded_topk_search` to reuse the staged corpus across
-    searches."""
+    searches. dtype="bf16" quantizes on host first — half the per-device
+    residency and transfer; see stage_padded_corpus for the contract."""
     from jax.sharding import NamedSharding
 
     d = mesh.shape[axis_name]
-    corpus = np.asarray(corpus, np.float32)
+    if dtype in ("bf16", "bfloat16", jnp.bfloat16):
+        import ml_dtypes
+
+        corpus = np.asarray(corpus).astype(ml_dtypes.bfloat16)
+    else:
+        corpus = np.asarray(corpus, np.float32)
     n = corpus.shape[0]
     # bucket rows like topk_search so index growth reuses compiled shapes
     per_shard = max(8, ((-(-_bucket_rows(n) // d) + 7) // 8) * 8)
@@ -862,7 +1016,11 @@ def sharded_topk_search(
     # bounds the shape set to {8, 16, ..., query_block}.
     q_block = min(query_block,
                   int(2 ** np.ceil(np.log2(max(m, 8)))))
-    q_pad, m_pad = _pad_rows(jnp.asarray(queries, jnp.float32), q_block)
+    # queries follow the corpus storage dtype: a mixed bf16xf32 dot would
+    # promote — and materialize — the full shard in f32 (see _compute_cast)
+    q_dt = (jnp.bfloat16 if corpus_pad.dtype == jnp.bfloat16
+            else jnp.float32)
+    q_pad, m_pad = _pad_rows(jnp.asarray(queries, q_dt), q_block)
     if jax.process_count() > 1:
         # multi-process: queries must be a replicated GLOBAL array (the
         # local jnp.asarray commit cannot be auto-resharded across hosts)
@@ -878,33 +1036,59 @@ def sharded_topk_search(
     fn = _SHARDED_SEARCH_CACHE.get(key)
     if fn is None:
         lowp = method == "certified-bf16"
-        sim_precision = jax.lax.Precision.DEFAULT if lowp else precision
 
         def local_fn(q, shard, n_valid):
+            # dtype-dependent choices are made at TRACE time from the shard
+            # (jit retraces on dtype change, so the shape-keyed fn cache
+            # stays correct across f32/bf16-resident corpora)
+            resident_bf16 = shard.dtype == jnp.bfloat16
+            sim_precision = (jax.lax.Precision.DEFAULT if lowp
+                             else _dot_precision(shard.dtype, precision))
+            eps = _BF16_STORE_EPS if resident_bf16 else _BF16_DOT_EPS
             my = jax.lax.axis_index(axis_name)
             offset = my * shard_rows
             col_idx = offset + jnp.arange(shard_rows, dtype=jnp.int32)
             col_valid = col_idx < n_valid
             q_blocks = q.reshape(m_pad // q_block, q_block, dim)
+            rnorm = _row_rnorm(shard) if resident_bf16 else None
 
             def block_fn(qb):
-                # lowp: bf16-materialized sims (see _certified_search)
-                sims = jnp.dot(qb, shard.T, precision=sim_precision,
-                               preferred_element_type=(jnp.bfloat16 if lowp
-                                                       else jnp.float32))
+                # lowp: bf16-materialized sims (see _certified_search);
+                # bf16-resident shards rescale to the cosine domain with
+                # exact f32 norms BEFORE any bf16 storage (see _row_rnorm)
+                if resident_bf16:
+                    sims = jnp.dot(qb, shard.T, precision=sim_precision,
+                                   preferred_element_type=jnp.float32)
+                    sims = sims * rnorm[None, :] * _row_rnorm(qb)[:, None]
+                    if lowp:
+                        sims = sims.astype(jnp.bfloat16)
+                else:
+                    sims = jnp.dot(qb, shard.T, precision=sim_precision,
+                                   preferred_element_type=(
+                                       jnp.bfloat16 if lowp
+                                       else jnp.float32))
                 sims = jnp.where(col_valid[None, :], sims,
                                  jnp.asarray(_NEG, sims.dtype))
-                if lowp:  # single materialization; see _certified_search
+                if lowp or resident_bf16:
+                    # single materialization; see _certified_search
                     sims = jax.lax.optimization_barrier(sims)
                 s, j, row_ok = _tile_topk(sims, local_k, method,
-                                          recall_target, exact_above)
+                                          recall_target, exact_above,
+                                          eps=eps)
                 if lowp:
-                    # HIGH rescore against the resident shard (local gather)
-                    # so the global merge sees HIGH-contract scores.
-                    cand = jnp.take(shard, j, axis=0, mode="clip")
-                    hi = jnp.einsum("md,mkd->mk", qb, cand,
-                                    precision=precision,
+                    # HIGH rescore against the resident shard (local gather
+                    # upcast AFTER the take — only (q_block, k, D) rows ever
+                    # become f32) so the global merge sees HIGH-contract
+                    # scores.
+                    cand = jnp.take(shard, j, axis=0,
+                                    mode="clip").astype(jnp.float32)
+                    hi = jnp.einsum("md,mkd->mk", qb.astype(jnp.float32),
+                                    cand, precision=precision,
                                     preferred_element_type=jnp.float32)
+                    if resident_bf16:  # cosine domain in the merge too
+                        cn2 = jnp.sum(cand * cand, axis=-1)
+                        crn = jnp.where(cn2 > 0, jax.lax.rsqrt(cn2), 0.0)
+                        hi = hi * crn * _row_rnorm(qb)[:, None]
                     s = jnp.where(jnp.isneginf(s), _NEG, hi)
                 return s, col_idx[j], row_ok
 
