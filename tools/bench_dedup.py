@@ -157,8 +157,18 @@ def main() -> int:
 
     def to_host_f32(x):
         # host truth/baseline math runs in f32 — for a bf16 corpus these
-        # are the exact f32 values of the stored (quantized) vectors
-        return np.asarray(x).astype(np.float32, copy=False)
+        # are the exact f32 values of the stored (quantized) vectors,
+        # RENORMALIZED to unit length: bf16 storage stores DIRECTIONS and
+        # every search path reports true cosines of the stored vectors
+        # (ops/topk._row_rnorm), so raw inner products of the non-unit
+        # quantized rows would be the wrong truth domain — ~±0.2% row-norm
+        # error breaks both the 5e-5 score assert and the completeness
+        # `want` set at exactly the scales this mode targets (ADVICE r4 #2).
+        out = np.asarray(x).astype(np.float32, copy=False)
+        if args.corpus_dtype == "bf16":
+            norms = np.linalg.norm(out, axis=1, keepdims=True)
+            out = out / np.where(norms > 0, norms, 1.0)
+        return out
 
     if args.device_corpus and args.verify_sample:
         # host ground truth needs the whole corpus on host: one D2H pull

@@ -264,8 +264,50 @@ def run_dedup():
     q_oracle = np.take_along_axis(
         q_sims, np.argsort(-q_sims, axis=1)[:, :k], axis=1)
     np.testing.assert_allclose(np.asarray(qs), q_oracle, atol=1e-5)
+
+    # bf16-RESIDENT legs (VERDICT r4 next #3): the storage mode's
+    # cross-process surface — host-quantized staging onto the global mesh,
+    # the ring's f32-norm cosine rescale, and the quantized-query score
+    # domain — verified against the cosine-domain oracle on every rank.
+    from video_fingerprint_tpu.ops.topk import stage_sharded_corpus
+
+    eq = np.asarray(jnp.asarray(e, jnp.bfloat16), np.float32)
+    eq /= np.linalg.norm(eq, axis=1, keepdims=True)  # stored directions
+    sims16 = eq @ eq.T
+    e16 = jnp.asarray(e, jnp.bfloat16)
+    s, i = sharded_topk_cosine(e16, k, mesh=mesh, query_block=8,
+                               method="certified-bf16", exact_above=0.9,
+                               recall_target=0.7)
+    s, i = np.asarray(s), np.asarray(i)
+    for row in range(n):
+        want = set(np.flatnonzero(sims16[row] >= 0.9).tolist())
+        got = {int(j) for ss, j in zip(s[row], i[row]) if ss >= 0.9 - 2e-5}
+        assert want <= got, ("bf16-resident ring", row, want - got)
+    live = np.isfinite(s)
+    np.testing.assert_allclose(
+        s[live], np.take_along_axis(sims16, i, axis=1)[live], atol=2e-5,
+        err_msg="bf16-resident ring score domain")
+    staged16 = stage_sharded_corpus(e, mesh, dtype="bf16")
+    qq = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+    qq /= np.linalg.norm(qq, axis=1, keepdims=True)
+    qq_sims = qq @ eq.T  # quantized-query-domain truth (ADVICE r4 #1)
+    bs, bi = sharded_topk_search(q, staged16, k, mesh=mesh,
+                                 method="certified-bf16", exact_above=0.9,
+                                 recall_target=0.7)
+    bs, bi = np.asarray(bs), np.asarray(bi)
+    for row in range(len(q)):
+        want = set(np.flatnonzero(qq_sims[row] >= 0.9).tolist())
+        got = {int(j) for ss, j in zip(bs[row], bi[row])
+               if ss >= 0.9 - 2e-5}
+        assert want <= got, ("bf16-staged search", row, want - got)
+    live = np.isfinite(bs)
+    np.testing.assert_allclose(
+        bs[live], np.take_along_axis(qq_sims, bi, axis=1)[live], atol=2e-5,
+        err_msg="bf16-staged search score domain")
+
     print(f"sharded dedup over {jax.process_count()} processes OK "
-          f"(exact+certified+bf16 ring, query search)", flush=True)
+          f"(exact+certified+bf16 ring, query search, bf16-resident "
+          f"ring+staged)", flush=True)
 
 
 if mode == "full":

@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "halves the file and the on-device corpus "
                              "(~8M videos/chip vs ~4M in f32); search stays "
                              "exhaustive w.r.t. the stored vectors, scores "
-                             "move by <= ~0.008 (docs/DESIGN.md)")
+                             "move by <= ~0.002 (corpus quantization) to "
+                             "~0.005 (query quantized too; docs/DESIGN.md)")
     parser.add_argument("--no_prune", action="store_true",
                         help="Keep index entries for files that are missing "
                              "on disk (shared/networked indexes where a "

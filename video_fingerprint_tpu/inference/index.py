@@ -56,9 +56,12 @@ class FingerprintIndex:
         """storage="bf16" stores the corpus in bfloat16 — on device (half
         the HBM residency: ~8M×256 clips fit a 16 GB v5e vs ~4M in f32) and
         on disk (half the .npz embedding bytes). All search contracts hold
-        w.r.t. the stored vectors; quantizing a unit-norm embedding perturbs
-        any cosine by <= ~0.008 (ops/topk.py::stage_padded_corpus), the same
-        trade as FAISS's SQfp16. Host-side copies stay f32."""
+        w.r.t. the stored directions (ops/topk.py::stage_padded_corpus);
+        reported scores live in the quantized-query domain, so vs true f32
+        cosines they move by <= ~0.002 from corpus quantization alone and
+        <= ~0.005 when the query is quantized too (search-time queries are
+        cast to the corpus dtype) — the same trade as FAISS's SQfp16, with
+        stated bounds. Host-side copies stay f32."""
         if storage not in ("f32", "bf16"):
             raise ValueError(f"storage must be 'f32' or 'bf16', got {storage!r}")
         self.dim = dim

@@ -49,6 +49,7 @@ host-side handles that, exactly like the reference.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from typing import Optional, Tuple
 
@@ -84,8 +85,16 @@ def _pad_rows(x: Array, multiple: int) -> Tuple[Array, int]:
 # 3x at 1M-wide (even with 256-row query blocks) while the 100k production
 # bucket is long-proven. Rows wider than this are selected per column-chunk
 # and merged (_wide_topk) — 131072 keeps every proven-good shape on the
-# single full-width top_k it always compiled to.
+# single full-width top_k it always compiled to. Env-overridable
+# (VFP_WIDE_TOPK_CHUNK) because the safe width is a property of THIS
+# deployment's TPU runtime, not of the algorithm — see the recalibration
+# note in docs/DESIGN.md. Resolved at trace time (_wide_chunk), so set it
+# before the first search of a given shape.
 _WIDE_TOPK_CHUNK = 131072
+
+
+def _wide_chunk() -> int:
+    return int(os.environ.get("VFP_WIDE_TOPK_CHUNK", _WIDE_TOPK_CHUNK))
 
 # Per-DISPATCH work budget (query_rows x corpus_rows cells) per method.
 # The axon TPU worker kills executions that run too long ("TPU worker
@@ -106,7 +115,21 @@ _DISPATCH_CELLS = {
 }
 
 
-def _wide_topk(sims: Array, k: int, chunk: int = _WIDE_TOPK_CHUNK):
+def _dispatch_budget(method: str) -> float:
+    """Per-dispatch cell budget, env-overridable: the defaults encode THIS
+    axon worker's ~30-80 s execution-kill threshold at measured 1M-width
+    rates; a production v5e with no watchdog should raise them (or set
+    VFP_DISPATCH_CELLS=inf to disable slabbing entirely), a slower part
+    should lower them. Per-method VFP_DISPATCH_CELLS_EXACT /
+    _CERTIFIED / _CERTIFIED_BF16 wins over the global VFP_DISPATCH_CELLS.
+    Recalibration recipe in docs/DESIGN.md."""
+    v = os.environ.get(
+        "VFP_DISPATCH_CELLS_" + method.replace("-", "_").upper()
+    ) or os.environ.get("VFP_DISPATCH_CELLS")
+    return float(v) if v else float(_DISPATCH_CELLS[method])
+
+
+def _wide_topk(sims: Array, k: int, chunk: Optional[int] = None):
     """`lax.top_k` over the last axis, structurally safe at any row width.
 
     Rows wider than `chunk` columns are split into static column chunks,
@@ -117,6 +140,8 @@ def _wide_topk(sims: Array, k: int, chunk: int = _WIDE_TOPK_CHUNK):
     so the merge's earliest-position tie-break selects the lowest global
     indices. Tested against full-width on tie-heavy inputs
     (tests/test_topk.py)."""
+    if chunk is None:
+        chunk = _wide_chunk()
     n = sims.shape[-1]
     if n <= chunk:
         return jax.lax.top_k(sims, k)
@@ -354,14 +379,24 @@ def _rescore_topk(queries: Array, corpus: Array, scores: Array, idx: Array,
     — and restores the <=2e-5 score contract after a bf16 first pass.
     Slots holding -inf (corpus padding / k > n) stay -inf."""
     m, k = idx.shape
+    corpus = _compute_cast(corpus)
+    resident_bf16 = corpus.dtype == jnp.bfloat16
+    if resident_bf16:
+        # Quantize queries to the corpus dtype BEFORE the f32 upcast, so the
+        # rescored scores live in the same cos(q(query), stored) domain as
+        # the selection certificate (_certified_search casts queries at line
+        # ~289) and the exact repairs (_exact_rows_fix). An f32-query rescore
+        # would shift boundary scores by up to the query-quantization term
+        # (~2^-9*sqrt(2) ~ 0.003), which _BF16_STORE_EPS does not budget:
+        # an item could then report >= thr without the certificate ever
+        # having guaranteed its completeness, and repaired vs rescored rows
+        # would mix two score domains in one result matrix (ADVICE r4 #1).
+        queries = queries.astype(jnp.bfloat16)
     q, m_pad = _pad_rows(queries.astype(jnp.float32), block)
     if m_pad != m:
         idx = jnp.pad(idx, ((0, m_pad - m), (0, 0)))
         scores = jnp.pad(scores, ((0, m_pad - m), (0, 0)),
                          constant_values=_NEG)
-    corpus = _compute_cast(corpus)
-
-    resident_bf16 = corpus.dtype == jnp.bfloat16
 
     def block_fn(args):
         qb, ib, sb = args
@@ -549,10 +584,10 @@ def topk_search(queries: Array, corpus: Array, k: int, query_block: int = 1024,
     # the same work as ~5-15 s dispatches completes. Results are invariant
     # to slabbing (indices are corpus-side; each slab repairs its own rows).
     m = queries.shape[0]
-    budget = _DISPATCH_CELLS["certified-bf16" if lowp else method]
+    budget = _dispatch_budget("certified-bf16" if lowp else method)
     if m * n_pad > budget:
         slab = max(query_block,
-                   (budget // n_pad) // query_block * query_block)
+                   int(budget // n_pad) // query_block * query_block)
         parts = [
             _search_padded(queries[lo:lo + slab], corpus, n_valid, k,
                            query_block, precision, method, lowp,
