@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="C++ libav fused decode for eval-mode attention "
                         "loads (falls back to cv2 when unavailable; train "
                         "augmentation always uses cv2 full-res frames)")
+    p.add_argument("--streaming_metrics_threshold", type=int, default=8192,
+                   help="Validation switches from dense O(N^2) metrics to "
+                        "the streaming O(block*N) path above this many val "
+                        "embeddings (2 per video); both are exact — the "
+                        "default matches the dense path's memory comfort "
+                        "zone on a 16 GB host")
     return p
 
 
@@ -141,7 +147,9 @@ def main(argv=None) -> int:
         profile=args.profile,
         extras={"remat": args.remat, "bf16": args.bf16,
                 "device_augment": args.device_augment,
-                "checkpoint_backend": "orbax" if args.orbax else "msgpack"},
+                "checkpoint_backend": "orbax" if args.orbax else "msgpack",
+                "streaming_metrics_threshold":
+                    args.streaming_metrics_threshold},
     ).to_dict()
 
     import jax.numpy as jnp
