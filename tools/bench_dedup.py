@@ -200,9 +200,11 @@ def main() -> int:
     warm = time.perf_counter() - t0
 
     times = []
+    s_dev = i_dev = None
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        sync(*fn(e, args.k))
+        s_dev, i_dev = fn(e, args.k)
+        sync(s_dev, i_dev)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     qps = args.n / dt
@@ -232,8 +234,15 @@ def main() -> int:
         # Host-numpy ground truth on sampled rows: independent of the whole
         # TPU stack, and usable at corpus sizes where a full-width exact
         # lax.top_k crashes the worker (observed at 1M-wide rows).
-        s_m, i_m = fn(e, args.k)
-        s_m, i_m = np.asarray(s_m), np.asarray(i_m)
+        # Reuse the LAST TIMED results (deterministic program, same input)
+        # instead of dispatching a third full search: at 8M the extra
+        # search ran after a ~500s D2H tunnel stall and pushed the first
+        # capacity run past its wrapper timeout (round-5 postmortem).
+        t0 = time.perf_counter()
+        s_m, i_m = np.asarray(s_dev), np.asarray(i_dev)
+        print(f"# results D2H for verification: "
+              f"{(s_m.nbytes + i_m.nbytes) / 1e9:.1f} GB in "
+              f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
         thr = args.exact_above
         assert thr is not None, "--verify_sample is thresholded-only"
         vrng = np.random.default_rng(1)
@@ -256,6 +265,7 @@ def main() -> int:
         # corpus would be 8.3 GB of host RAM
         chunk = max(8, min(256, int(2e9 / (4 * args.n))))
         for lo in range(0, len(rows), chunk):
+            print(f"# verify rows {lo}/{len(rows)}", file=sys.stderr)
             sel = rows[lo:lo + chunk]
             truth = e_host[sel] @ e_host.T  # (chunk, N) f32 BLAS
             for r_local, r in enumerate(sel):
@@ -283,10 +293,9 @@ def main() -> int:
                     f"{len(rows)} rows ({n_hits} hits); "
                     f"score delta {max_d:.2e}")
     elif args.verify:
-        s_m, i_m = fn(e, args.k)
         s_x, i_x = (sharded_topk_cosine if multi else topk_cosine)(
             e, args.k, method="exact")
-        s_m, i_m = np.asarray(s_m), np.asarray(i_m)
+        s_m, i_m = np.asarray(s_dev), np.asarray(i_dev)
         s_x, i_x = np.asarray(s_x), np.asarray(i_x)
         if args.exact_above is None:
             np.testing.assert_array_equal(np.sort(s_m, 1), np.sort(s_x, 1))
