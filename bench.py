@@ -204,11 +204,26 @@ def main():
     _emit(result)  # the number of record is now on stdout
 
     # Best-effort legs below; each re-prints an augmented copy of the line.
+    # Training throughput first (VERDICT r4 next #2): steps/s + train-step
+    # MFU at the proven B=64 T=64 shape and the config-#4 shape (batch 8,
+    # T=512 bucket, masked, device-augment, remat off/on). Runs before the
+    # e2e legs because no BENCH has ever carried a training number, while
+    # the e2e corpus cache makes those legs cheap; the cap reserves time
+    # for them and the leg emits cumulative partials on a timeout.
+    if _remaining() > 120:
+        train = _run_leg(["tools/bench_train.py"],
+                         timeout=min(_remaining() - 160, 480))
+        train_keys = {k: v for k, v in train.items()
+                      if k.startswith(("train_", "t512_", "b8_t512", "b64_"))}
+        if train_keys:
+            result.update(train_keys)
+            _emit(result)
+
     # e2e scan runs the PRODUCTION config — --native-decode, the documented
     # multi-core recommendation (VERDICT r4 weak #1) — as the number of
     # record; the cv2 decoder is reported as a second set of fields below
     # if budget remains.
-    if _remaining() > 120:
+    if _remaining() > 100:
         e2e = _run_leg(
             ["tools/bench_scan_e2e.py", "--videos", "60", "--frames", "96",
              "--workers", "8", "--native-decode",
@@ -218,18 +233,6 @@ def main():
         if e2e:
             result.update(e2e)
             result.update(_e2e_projection(vps, e2e, os.cpu_count() or 1))
-            _emit(result)
-
-    # Training throughput (VERDICT r4 next #2): steps/s + train-step MFU at
-    # the proven B=64 T=64 shape and the config-#4 shape (batch 8, T=512
-    # bucket, masked, device-augment, remat off/on).
-    if _remaining() > 180:
-        train = _run_leg(["tools/bench_train.py"],
-                         timeout=_remaining() - 20)
-        train_keys = {k: v for k, v in train.items()
-                      if k.startswith(("train_", "t512_", "b8_t512", "b64_"))}
-        if train_keys:
-            result.update(train_keys)
             _emit(result)
 
     # cv2-decode e2e comparison (bit-exact default decoder; the per-core

@@ -13,6 +13,15 @@ bf16 compute, windowed metric sync, device-resident batches — no decode):
      device-side augmentation) with remat OFF and ON — answering whether
      the shape fits HBM without remat and what remat costs/buys.
 
+The number of record per shape is the IN-GRAPH steps/s: R optimizer steps
+chained inside one lax.fori_loop (state carried, loss accumulated so no
+sub-graph dead-codes), one dispatch, one scalar readback — the same regime
+as the extraction headline (tools/bench_headline.py) and for the same
+reason: per-dispatch tunnel RTT on this dev setup measured 5+ s/step in
+degraded windows (0.19 steps/s dispatched vs 15.1 hand-run), overhead a
+locally-attached production host does not pay. The per-dispatch number is
+still reported with a `_dispatched` suffix for window diagnosis.
+
 Prints a cumulative JSON line after each stage (the orchestrator parses the
 LAST line and salvages stdout on timeout, so a stall in a later stage still
 leaves the earlier numbers on record).
@@ -37,6 +46,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--window", type=int, default=10)
+    ap.add_argument("--ingraph_reps", type=int, default=10,
+                    help="optimizer steps chained per in-graph dispatch")
+    ap.add_argument("--timings", type=int, default=3,
+                    help="timed in-graph dispatches (median)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip_t512", action="store_true",
                     help="only the B=64 T=64 leg (fast smoke)")
@@ -97,29 +110,65 @@ def main():
         return batch
 
     def measure(tag, B, T, masked, device_augment, remat):
-        """Compile + run args.steps with windowed sync; returns steps/s or
-        an error marker (RESOURCE_EXHAUSTED at T=512 no-remat is itself a
-        result: the shape needs remat on a 16 GB chip)."""
-        step_fn = jax.jit(
-            make_train_step(model, tx, "attention",
-                            device_augment=device_augment, remat=remat),
-            donate_argnums=(0,),
-        )
-        state = init_train_state(
-            model, None, jax.random.PRNGKey(0), (1, 8, 64, 64, 3)
-        ).replace(
-            params=jax.device_put(host_params, dev),
-            batch_stats=jax.device_put(host_stats, dev),
-        )
-        state = state.replace(opt_state=jax.device_put(
-            jax.tree.map(np.asarray, tx.init(host_params)), dev))
+        """Compile + run the shape in two regimes; returns in-graph steps/s
+        (the number of record) or an error marker (RESOURCE_EXHAUSTED at
+        T=512 no-remat is itself a result: the shape needs remat on a 16 GB
+        chip). Also records `{tag}_dispatched` — one dispatch per step with
+        windowed sync — whose delta vs in-graph is pure tunnel/dispatch tax.
+        """
+        raw_step = make_train_step(model, tx, "attention",
+                                   device_augment=device_augment, remat=remat)
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+
+        R = args.ingraph_reps
+
+        def chained(state, batch, k):
+            # R real optimizer steps in ONE dispatch: state carried through
+            # the loop, per-step loss accumulated into the carry so the
+            # metrics sub-graph cannot be dead-coded.
+            def body(i, carry):
+                st, acc = carry
+                st2, m = raw_step(st, batch, jax.random.fold_in(k, i))
+                return st2, acc + m["loss"].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, R, body,
+                                     (state, jnp.float32(0.0)))
+
+        chained_fn = jax.jit(chained, donate_argnums=(0,))
+
+        def fresh_state():
+            st = init_train_state(
+                model, None, jax.random.PRNGKey(0), (1, 8, 64, 64, 3)
+            ).replace(
+                params=jax.device_put(host_params, dev),
+                batch_stats=jax.device_put(host_stats, dev),
+            )
+            return st.replace(opt_state=jax.device_put(
+                jax.tree.map(np.asarray, tx.init(host_params)), dev))
+
         batch = {k: jax.device_put(v, dev)
                  for k, v in make_batch(B, T, masked).items()}
         try:
+            # --- in-graph (number of record) ---------------------------
+            state = fresh_state()
             t0 = time.perf_counter()
-            state, metrics = step_fn(state, batch, key)
-            last = float(metrics["loss"])
+            state, acc = chained_fn(state, batch, key)
+            assert np.isfinite(float(acc)), float(acc)
             out[f"{tag}_compile_s"] = round(time.perf_counter() - t0, 1)
+            windows = []
+            for w in range(args.timings):
+                t0 = time.perf_counter()
+                state, acc = chained_fn(state, batch,
+                                        jax.random.fold_in(key, w + 1))
+                acc = float(acc)  # dependent scalar readback = sync
+                windows.append(R / (time.perf_counter() - t0))
+                assert np.isfinite(acc), acc
+            ingraph = float(np.median(windows))
+
+            # --- per-dispatch (diagnostic) ------------------------------
+            state = fresh_state()
+            state, metrics = step_fn(state, batch, key)  # compile
+            last = float(metrics["loss"])
             assert np.isfinite(last), last
             t0 = time.perf_counter()
             for i in range(args.steps):
@@ -130,7 +179,9 @@ def main():
             if args.steps % args.window != 0:
                 last = float(metrics["loss"])  # drain in-flight tail
             assert np.isfinite(last), last
-            return args.steps / (time.perf_counter() - t0)
+            out[f"{tag}_dispatched_steps_per_sec"] = round(
+                args.steps / (time.perf_counter() - t0), 2)
+            return ingraph
         except Exception as e:  # noqa: BLE001 — OOM is a reportable result
             msg = str(e)
             oom = "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg

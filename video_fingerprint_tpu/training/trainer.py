@@ -443,6 +443,9 @@ class Trainer:
             )
 
             s = streaming_validation_metrics(embeddings, ids)
+            if self.is_main:  # run-log evidence that the O(block*N) path ran
+                print(f"  [val metrics: streaming path, "
+                      f"N={embeddings.shape[0]} > threshold {threshold}]")
             for k in (1, 5, 10):  # reference skips k > n_videos-1 (train.py:449)
                 if k > n_videos - 1:
                     s.pop(f"R@{k}", None)
