@@ -129,6 +129,13 @@ def test_model_selection_gap_tiebreak():
     assert not is_new_best(0.99981, 0.30, 0.99983, 0.31)
     # a genuine AUC regression (beyond flat_eps) never wins on gap
     assert not is_new_best(0.95, 0.9, 0.99983, 0.31)
+    # the band is configurable (--auc_flat_eps): calibrated to the val
+    # set's measured plateau jitter. The traj_r5_attnhard epoch-8 point
+    # (AUC 0.964 vs best 0.9659, gap 0.543 vs 0.431) fires at the
+    # measured 3e-3 noise but not at the small-val default 1e-3
+    assert not is_new_best(0.964, 0.543, 0.9659, 0.431)
+    assert is_new_best(0.964, 0.543, 0.9659, 0.431, flat_eps=3e-3)
+    assert not is_new_best(0.964, 0.40, 0.9659, 0.431, flat_eps=3e-3)
 
 
 def test_hard_corpus_has_cross_video_near_duplicates(tmp_path):

@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="C++ libav fused decode for eval-mode attention "
                         "loads (falls back to cv2 when unavailable; train "
                         "augmentation always uses cv2 full-res frames)")
+    p.add_argument("--auc_flat_eps", type=float, default=1e-3,
+                   help="AUC flatness band for the separation-gap tiebreak "
+                        "in best-checkpoint selection: an epoch within this "
+                        "band of the best AUC whose gap improves still marks "
+                        "a new best. Calibrate to the val set's measured "
+                        "epoch-to-epoch AUC noise (the 1e-3 default suits "
+                        "1k+ val extracts; a 300-extract hard-corpus run "
+                        "measured ~3e-3 jitter at its plateau)")
     p.add_argument("--streaming_metrics_threshold", type=int, default=8192,
                    help="Validation switches from dense O(N^2) metrics to "
                         "the streaming O(block*N) path above this many val "
@@ -149,7 +157,8 @@ def main(argv=None) -> int:
                 "device_augment": args.device_augment,
                 "checkpoint_backend": "orbax" if args.orbax else "msgpack",
                 "streaming_metrics_threshold":
-                    args.streaming_metrics_threshold},
+                    args.streaming_metrics_threshold,
+                "auc_flat_eps": args.auc_flat_eps},
     ).to_dict()
 
     import jax.numpy as jnp

@@ -706,8 +706,9 @@ class Trainer:
 
             auc = val_metrics.get("auc_roc", 0.0)
             gap = val_metrics.get("separation_gap", 0.0)
-            is_best = is_new_best(auc, gap, self.best_auc_roc,
-                                  self.best_sep_gap)
+            is_best = is_new_best(
+                auc, gap, self.best_auc_roc, self.best_sep_gap,
+                flat_eps=float(self.config.get("auc_flat_eps", 1e-3)))
             if is_best:
                 via_gap = not (auc > self.best_auc_roc)
                 # max, not overwrite: a near-flat gap-tiebreak best must not
