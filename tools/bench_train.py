@@ -44,7 +44,14 @@ V5E_BF16_PEAK_FLOPS = 197e12  # per-chip peak, TPU v5e datasheet
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps", type=int, default=6,
+                    help="per-dispatch diagnostic steps; at degraded-tunnel "
+                         "rates (0.06-0.14 steps/s measured) each one costs "
+                         "seconds, so the default stays small")
+    ap.add_argument("--diag_all", action="store_true",
+                    help="run the per-dispatch diagnostic on every leg, not "
+                         "just leg 1 (the tax is pure tunnel RTT — one "
+                         "window sample is enough to characterize it)")
     ap.add_argument("--window", type=int, default=10)
     ap.add_argument("--ingraph_reps", type=int, default=10,
                     help="optimizer steps chained per in-graph dispatch")
@@ -109,12 +116,16 @@ def main():
             batch["mask2"] = np.ones((B, T), bool)
         return batch
 
-    def measure(tag, B, T, masked, device_augment, remat):
+    def measure(tag, B, T, masked, device_augment, remat, out_key,
+                diag=False):
         """Compile + run the shape in two regimes; returns in-graph steps/s
         (the number of record) or an error marker (RESOURCE_EXHAUSTED at
         T=512 no-remat is itself a result: the shape needs remat on a 16 GB
-        chip). Also records `{tag}_dispatched` — one dispatch per step with
-        windowed sync — whose delta vs in-graph is pure tunnel/dispatch tax.
+        chip). The in-graph number is written to `out[out_key]` and emitted
+        BEFORE the optional per-dispatch diagnostic (`{tag}_dispatched`,
+        one dispatch per step with windowed sync, delta vs in-graph = pure
+        tunnel/dispatch tax) so a diagnostic stall cannot cost the number
+        of record under the orchestrator's salvage-on-timeout contract.
         """
         raw_step = make_train_step(model, tx, "attention",
                                    device_augment=device_augment, remat=remat)
@@ -164,6 +175,10 @@ def main():
                 windows.append(R / (time.perf_counter() - t0))
                 assert np.isfinite(acc), acc
             ingraph = float(np.median(windows))
+            out[out_key] = round(ingraph, 2)
+            print(json.dumps(out), flush=True)
+            if not diag:
+                return ingraph
 
             # --- per-dispatch (diagnostic) ------------------------------
             state = fresh_state()
@@ -213,9 +228,9 @@ def main():
     B1, T1 = args.batch, args.frames
     tag1 = f"b{B1}_t{T1}"
     sps = measure(tag1, B1, T1, masked=False,
-                  device_augment=False, remat=False)
+                  device_augment=False, remat=False,
+                  out_key=f"train_steps_per_sec_{tag1}_bf16", diag=True)
     if sps:
-        out[f"train_steps_per_sec_{tag1}_bf16"] = round(sps, 2)
         fl = flops_per_step(B1, T1, False, False, False)
         if fl:
             out[f"train_tflops_per_step_{tag1}"] = round(fl / 1e12, 3)
@@ -231,9 +246,10 @@ def main():
     for remat in (False, True):
         tag = f"b8_t512_devaug_remat_{'on' if remat else 'off'}"
         sps = measure(tag, 8, 512, masked=True,
-                      device_augment=True, remat=remat)
+                      device_augment=True, remat=remat,
+                      out_key=f"train_steps_per_sec_{tag}",
+                      diag=args.diag_all)
         if sps:
-            out[f"train_steps_per_sec_{tag}"] = round(sps, 2)
             fl = flops_per_step(8, 512, True, True, remat)
             if fl:
                 out[f"train_mfu_{tag}"] = round(
