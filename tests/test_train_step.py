@@ -149,3 +149,90 @@ def test_eval_step():
     assert emb1.shape == (B, 256) and emb2.shape == (B, 256)
     assert np.isfinite(float(out["loss"]))
     assert float(out["loss_triplet"]) == 0.0  # no video_ids in validation
+
+
+def test_eval_step_reuse_extract_features_exact():
+    """Feature-reuse eval (the default) == the two-pixel-forwards path.
+
+    Exactness holds because the spatial encoder is per-frame (context
+    independent), has no dropout, and eval BN uses running stats — so a
+    gathered row of the full clip's feature map IS the gathered frame's
+    encoding (models/attention.py::forward_from_features)."""
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.train_step import make_eval_step
+
+    model = create_model("attention")
+    B, T, hw = 3, 10, 32
+    video = jnp.zeros((1, T, hw, hw, 3))
+    variables = model.init(jax.random.PRNGKey(0), video)
+    lens = np.array([10, 7, 5])
+    m = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    batch = {
+        "clip1": jax.random.uniform(jax.random.PRNGKey(1), (B, T, hw, hw, 3)),
+        "clip2": jax.random.uniform(jax.random.PRNGKey(2), (B, T, hw, hw, 3)),
+        "mask1": m,
+        "mask2": m,
+    }
+    key = jax.random.PRNGKey(4)
+    out_px, e1_px, e2_px = jax.jit(
+        make_eval_step(model, "attention", reuse_extract_features=False)
+    )(variables["params"], variables["batch_stats"], batch, key)
+    out_ru, e1_ru, e2_ru = jax.jit(
+        make_eval_step(model, "attention", reuse_extract_features=True)
+    )(variables["params"], variables["batch_stats"], batch, key)
+    np.testing.assert_allclose(np.asarray(e1_px), np.asarray(e1_ru), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(e2_px), np.asarray(e2_ru), atol=2e-6)
+    np.testing.assert_allclose(
+        float(out_px["loss"]), float(out_ru["loss"]), rtol=1e-5)
+
+
+@pytest.mark.slow  # two full attention train-step compiles
+def test_train_step_reuse_extract_features():
+    """reuse_extract_features: with extract_ratio=1.0 the extract batch IS
+    the full batch, so even encoder BatchNorm batch statistics coincide and
+    the reuse step must match the two-pixel-forwards step exactly (loss,
+    grads, updated params). At the default ratio it must still train
+    (finite loss, nonzero grads)."""
+    from video_fingerprint_tpu.models import create_model
+    from video_fingerprint_tpu.training.optim import make_optimizer
+    from video_fingerprint_tpu.training.train_step import (
+        init_train_state,
+        make_train_step,
+    )
+
+    model = create_model("attention")
+    B, T, hw = 3, 10, 32
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, None, rng, (1, T, hw, hw, 3))
+    tx = make_optimizer("attention", state.params, learning_rate=1e-3,
+                        total_steps=100, epochs=2, steps_per_epoch=10)
+    state = state.replace(opt_state=tx.init(state.params))
+    lens = np.array([10, 7, 5])
+    m = jnp.asarray(np.arange(T)[None, :] < lens[:, None])
+    batch = {
+        "clip1": jax.random.uniform(jax.random.PRNGKey(1), (B, T, hw, hw, 3)),
+        "clip2": jax.random.uniform(jax.random.PRNGKey(2), (B, T, hw, hw, 3)),
+        "video_id": jnp.arange(B),
+        "mask1": m,
+        "mask2": m,
+    }
+    key = jax.random.PRNGKey(7)
+
+    s_px, m_px = jax.jit(make_train_step(
+        model, tx, "attention", extract_ratio=1.0))(state, batch, key)
+    s_ru, m_ru = jax.jit(make_train_step(
+        model, tx, "attention", extract_ratio=1.0,
+        reuse_extract_features=True))(state, batch, key)
+    np.testing.assert_allclose(
+        float(m_px["loss"]), float(m_ru["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_px["grad_norm"]), float(m_ru["grad_norm"]), rtol=1e-4)
+    max_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s_px.params, s_ru.params)))
+    assert max_diff < 1e-6, max_diff
+
+    # default ratio: approximation mode (encoder BN batch stats shared) —
+    # must produce a finite training signal with gradients flowing.
+    s3, m3 = jax.jit(make_train_step(
+        model, tx, "attention", reuse_extract_features=True))(state, batch, key)
+    assert np.isfinite(float(m3["loss"])) and float(m3["grad_norm"]) > 0

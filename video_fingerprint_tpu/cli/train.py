@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "transforms/probabilities as the host pipeline); the "
                         "loader then applies only resize + JPEG recompress. "
                         "Frees host cores on decode-bound boxes")
+    p.add_argument("--fast_extracts", action="store_true",
+                   help="Attention only: compute extract embeddings from "
+                        "gathered rows of the full forward's per-frame "
+                        "feature map instead of re-running the CNN on "
+                        "gathered pixels — removes ~half the step's CNN "
+                        "FLOPs. Only train-mode divergence: extract frames "
+                        "are BN-normalized with the full batch's statistics "
+                        "(exactly equal at extract_ratio=1.0; validation is "
+                        "always exact and reuses features regardless)")
     p.add_argument("--native_decode", action="store_true",
                    help="C++ libav fused decode for eval-mode attention "
                         "loads (falls back to cv2 when unavailable; train "
@@ -155,6 +164,7 @@ def main(argv=None) -> int:
         profile=args.profile,
         extras={"remat": args.remat, "bf16": args.bf16,
                 "device_augment": args.device_augment,
+                "fast_extracts": args.fast_extracts,
                 "checkpoint_backend": "orbax" if args.orbax else "msgpack",
                 "streaming_metrics_threshold":
                     args.streaming_metrics_threshold,

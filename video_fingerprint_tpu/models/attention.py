@@ -131,6 +131,37 @@ class VideoFingerprintAttention(nn.Module):
             weighted_pool = jnp.sum(features * weights * m, axis=1)
         return jnp.concatenate([avg_pool, max_pool, weighted_pool], axis=1)
 
+    def forward_from_features(
+        self,
+        feats: jax.Array,
+        train: bool = False,
+        mask: Optional[jax.Array] = None,
+        return_features: bool = False,
+    ) -> jax.Array:
+        """(B, T, spatial_dim) per-frame features -> (B, embedding_dim).
+
+        The model from `encode_frames`'s output onward: temporal encoding +
+        pooling + projection head + L2 norm. Per-frame CNN features are
+        context-independent (the spatial encoder sees one frame at a time),
+        so a temporal SUBSEQUENCE of a clip can be embedded by gathering rows
+        of the full clip's feature map and entering here — in eval mode this
+        is exactly equal to re-encoding the gathered pixels (BN uses running
+        stats; the encoder has no dropout), which is what the training
+        extract-reuse path (train_step.py, reuse_extract_features) and its
+        tests rely on.
+        """
+        temporal_features = self.temporal_encoding(feats, train=train, mask=mask)
+        pooled = self.adaptive_pooling(temporal_features, mask=mask)
+        h = nn.relu(self.final_projection_1(pooled))
+        h = self.final_dropout(h, deterministic=not train)
+        embedding = self.final_projection_2(h).astype(jnp.float32)
+        norm = jnp.linalg.norm(embedding, axis=1, keepdims=True)
+        # torch F.normalize(p=2, eps=1e-12): x / max(||x||, eps)
+        embedding = embedding / jnp.maximum(norm, 1e-12)
+        if return_features:
+            return embedding, temporal_features
+        return embedding
+
     def forward_flat(
         self,
         flat_frames: jax.Array,
@@ -154,17 +185,9 @@ class VideoFingerprintAttention(nn.Module):
             flat_frames = flat_frames.astype(self.dtype or jnp.float32) / 255.0
         feats = self.spatial_encoder(flat_frames, train=train)
         feats = feats.reshape(batch_size, T, self.spatial_dim)
-        temporal_features = self.temporal_encoding(feats, train=train, mask=mask)
-        pooled = self.adaptive_pooling(temporal_features, mask=mask)
-        h = nn.relu(self.final_projection_1(pooled))
-        h = self.final_dropout(h, deterministic=not train)
-        embedding = self.final_projection_2(h).astype(jnp.float32)
-        norm = jnp.linalg.norm(embedding, axis=1, keepdims=True)
-        # torch F.normalize(p=2, eps=1e-12): x / max(||x||, eps)
-        embedding = embedding / jnp.maximum(norm, 1e-12)
-        if return_features:
-            return embedding, temporal_features
-        return embedding
+        return self.forward_from_features(
+            feats, train=train, mask=mask, return_features=return_features
+        )
 
     def __call__(
         self,

@@ -107,9 +107,8 @@ def sample_extracts(
     return extract, mask, idx
 
 
-def make_train_step(
+def make_loss_fn(
     model,
-    tx: optax.GradientTransformation,
     model_type: str,
     extract_ratio: float = 0.5,
     triplet_weight: float = 0.3,
@@ -118,8 +117,12 @@ def make_train_step(
     mask_padding: bool = True,
     remat: bool = False,
     device_augment: bool = False,
+    reuse_extract_features: bool = False,
 ) -> Callable:
-    """Build the fused train step: (state, batch, rng) -> (state, metrics).
+    """Build the train-mode loss: (params, batch_stats, batch, rng) ->
+    (loss, (new_batch_stats, metrics)). Used by make_train_step under
+    jax.grad; exposed separately so forward-only cost can be measured in
+    isolation (tools/exp_train_roofline.py).
 
     batch: {'clip1','clip2': (B,T,H,W,C) f32, 'video_id': (B,) i32,
             'mask1','mask2': (B,T) bool (optional)}
@@ -135,6 +138,22 @@ def make_train_step(
     clips augmented only by the host-side subset (resize + JPEG recompress;
     data/dataset.py augment_mode="device"). Each clip of the pair draws its
     own params, like the host pipeline's two apply_augmentations calls.
+
+    reuse_extract_features=True (attention only, opt-in) skips the extract
+    forward's per-frame CNN: extracts are temporal subsequences of the SAME
+    frames the full forward just encoded, and the spatial encoder is
+    per-frame (context-independent) with no dropout — so the extract
+    embeddings are computed by gathering rows of the full forward's
+    (2B, T, spatial_dim) feature map and running only the temporal head.
+    This removes ~half the step's CNN FLOPs (fwd AND bwd) and replaces the
+    (B, T, H, W, C) pixel gather + its backward scatter with a
+    (B, T, spatial_dim) one. The ONLY train-mode divergence from the
+    two-pixel-forwards path is encoder BatchNorm batch statistics: extract
+    frames are normalized with the full batch's statistics instead of the
+    extract batch's own (the populations coincide; with extract_ratio=1.0
+    the modes are exactly equal — tested), and the encoder's running stats
+    see one update per step instead of two. Temporal-head semantics
+    (dropout draws, BN, masking) are unchanged.
     """
 
     def _fwd_train(params, batch_stats, x, mask, d_rng):
@@ -151,9 +170,26 @@ def make_train_step(
             rngs={"dropout": d_rng}, mutable=["batch_stats"],
         )
 
+    def _enc_train(params, batch_stats, x):
+        # per-frame CNN only; no dropout in the spatial encoder.
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, method="encode_frames", mutable=["batch_stats"],
+        )
+
+    def _head_train(params, batch_stats, feats, mask, d_rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            feats, train=True, mask=mask,
+            rngs={"dropout": d_rng}, mutable=["batch_stats"],
+            method="forward_from_features",
+        )
+
     if remat:
         _fwd_train = jax.checkpoint(_fwd_train)
         _fwd_train_3d = jax.checkpoint(_fwd_train_3d)
+        _enc_train = jax.checkpoint(_enc_train)
+        _head_train = jax.checkpoint(_head_train)
 
     def loss_fn(params, batch_stats, batch, rng):
         d_rng, e_rng1, e_rng2 = jax.random.split(rng, 3)
@@ -193,15 +229,34 @@ def make_train_step(
             fmask = None
             if m1 is not None and m2 is not None:
                 fmask = jnp.concatenate([m1, m2], axis=0)
-            emb_full, mutated = _fwd_train(
-                params, batch_stats, fulls, fmask, jax.random.fold_in(d_rng, 0)
-            )
-            exs = jnp.concatenate([ex1, ex2], axis=0)
             exmask = jnp.concatenate([exm1, exm2], axis=0)
-            emb_ex, mutated = _fwd_train(
-                params, mutated["batch_stats"], exs, exmask,
-                jax.random.fold_in(d_rng, 1),
-            )
+            if reuse_extract_features:
+                # Encode every frame ONCE; the extract view gathers the
+                # (2B, T, spatial_dim) feature rows instead of re-running
+                # the CNN on gathered pixels (see make_train_step docstring).
+                feats_full, mutated = _enc_train(params, batch_stats, fulls)
+                emb_full, mutated = _head_train(
+                    params, mutated["batch_stats"], feats_full, fmask,
+                    jax.random.fold_in(d_rng, 0),
+                )
+                idxcat = jnp.concatenate([idx1, idx2], axis=0)
+                feats_ex = jnp.take_along_axis(
+                    feats_full, idxcat[:, :, None], axis=1
+                )
+                emb_ex, mutated = _head_train(
+                    params, mutated["batch_stats"], feats_ex, exmask,
+                    jax.random.fold_in(d_rng, 1),
+                )
+            else:
+                emb_full, mutated = _fwd_train(
+                    params, batch_stats, fulls, fmask,
+                    jax.random.fold_in(d_rng, 0),
+                )
+                exs = jnp.concatenate([ex1, ex2], axis=0)
+                emb_ex, mutated = _fwd_train(
+                    params, mutated["batch_stats"], exs, exmask,
+                    jax.random.fold_in(d_rng, 1),
+                )
             out = attention_contrastive_loss(
                 emb_full[:B], emb_full[B:], emb_ex[:B], emb_ex[B:],
                 temperature=params["temperature"],
@@ -233,6 +288,36 @@ def make_train_step(
         out["acc"] = acc
         return out["loss"], (mutated["batch_stats"], out)
 
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    model_type: str,
+    extract_ratio: float = 0.5,
+    triplet_weight: float = 0.3,
+    triplet_margin: float = 0.3,
+    use_triplet: bool = True,
+    mask_padding: bool = True,
+    remat: bool = False,
+    device_augment: bool = False,
+    reuse_extract_features: bool = False,
+) -> Callable:
+    """Build the fused train step: (state, batch, rng) -> (state, metrics).
+    Loss semantics and all flags: see make_loss_fn."""
+    loss_fn = make_loss_fn(
+        model, model_type,
+        extract_ratio=extract_ratio,
+        triplet_weight=triplet_weight,
+        triplet_margin=triplet_margin,
+        use_triplet=use_triplet,
+        mask_padding=mask_padding,
+        remat=remat,
+        device_augment=device_augment,
+        reuse_extract_features=reuse_extract_features,
+    )
+
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array):
         rng = jax.random.fold_in(rng, state.step)
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
@@ -252,9 +337,21 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callable:
+def make_eval_step(
+    model, model_type: str, mask_padding: bool = True,
+    reuse_extract_features: bool = True,
+) -> Callable:
     """Validation step: loss (no triplet — reference passes no video_ids in
-    validate, train.py:397-399) + embeddings + accuracy, one forward pair."""
+    validate, train.py:397-399) + embeddings + accuracy, one forward pair.
+
+    reuse_extract_features (attention only, default ON) computes the extract
+    embeddings from gathered rows of the full forward's per-frame feature
+    map instead of re-running the CNN on gathered pixels. In eval mode this
+    is EXACT — BN uses running stats and the encoder has no dropout, so a
+    frame's features do not depend on which batch/view it appears in
+    (equality vs the pixel path is tested) — and removes ~half the
+    validation forward's CNN FLOPs. False reproduces the two-pixel-forwards
+    path bit-for-bit."""
 
     def eval_step(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -269,7 +366,16 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
             fmask = None
             if m1 is not None and m2 is not None:
                 fmask = jnp.concatenate([m1, m2], axis=0)
-            emb = model.apply(variables, fulls, mask=fmask)
+            if reuse_extract_features:
+                feats_full = model.apply(
+                    variables, fulls, method="encode_frames"
+                )
+                emb = model.apply(
+                    variables, feats_full, mask=fmask,
+                    method="forward_from_features",
+                )
+            else:
+                emb = model.apply(variables, fulls, mask=fmask)
             emb1, emb2 = emb[:B], emb[B:]
 
             k_len, e_rng1, e_rng2 = jax.random.split(rng, 3)
@@ -286,9 +392,19 @@ def make_eval_step(model, model_type: str, mask_padding: bool = True) -> Callabl
                 exm1 = exm1 & jnp.take_along_axis(m1, idx1, axis=1)
             if m2 is not None:
                 exm2 = exm2 & jnp.take_along_axis(m2, idx2, axis=1)
-            exs = jnp.concatenate([ex1, ex2], axis=0)
             exmask = jnp.concatenate([exm1, exm2], axis=0)
-            emb_ex = model.apply(variables, exs, mask=exmask)
+            if reuse_extract_features:
+                idxcat = jnp.concatenate([idx1, idx2], axis=0)
+                feats_ex = jnp.take_along_axis(
+                    feats_full, idxcat[:, :, None], axis=1
+                )
+                emb_ex = model.apply(
+                    variables, feats_ex, mask=exmask,
+                    method="forward_from_features",
+                )
+            else:
+                exs = jnp.concatenate([ex1, ex2], axis=0)
+                emb_ex = model.apply(variables, exs, mask=exmask)
             out = attention_contrastive_loss(
                 emb1, emb2, emb_ex[:B], emb_ex[B:],
                 temperature=params["temperature"], video_ids=None,

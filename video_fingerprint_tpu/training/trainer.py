@@ -181,6 +181,7 @@ class Trainer:
                 mask_padding=config.get("mask_padding", True),
                 remat=config.get("remat", False),
                 device_augment=config.get("device_augment", False),
+                reuse_extract_features=config.get("fast_extracts", False),
             ),
             donate_argnums=(0,),
         )
