@@ -117,7 +117,7 @@ def main():
         return batch
 
     def measure(tag, B, T, masked, device_augment, remat, out_key,
-                diag=False):
+                diag=False, fast_extracts=False):
         """Compile + run the shape in two regimes; returns in-graph steps/s
         (the number of record) or an error marker (RESOURCE_EXHAUSTED at
         T=512 no-remat is itself a result: the shape needs remat on a 16 GB
@@ -128,7 +128,8 @@ def main():
         of record under the orchestrator's salvage-on-timeout contract.
         """
         raw_step = make_train_step(model, tx, "attention",
-                                   device_augment=device_augment, remat=remat)
+                                   device_augment=device_augment, remat=remat,
+                                   reuse_extract_features=fast_extracts)
         step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
         R = args.ingraph_reps
@@ -203,13 +204,15 @@ def main():
             out[f"{tag}_error"] = ("OOM" if oom else msg.splitlines()[0][:200])
             return None
 
-    def flops_per_step(B, T, masked, device_augment, remat):
+    def flops_per_step(B, T, masked, device_augment, remat,
+                       fast_extracts=False):
         """Train-step FLOPs from the CPU-lowered module (never touches the
         tunnel); includes fwd+bwd+optimizer — the honest MFU numerator."""
         try:
             step_fn = make_train_step(model, tx, "attention",
                                       device_augment=device_augment,
-                                      remat=remat)
+                                      remat=remat,
+                                      reuse_extract_features=fast_extracts)
             with jax.default_device(jax.devices("cpu")[0]):
                 st = init_train_state(
                     model, None, jax.random.PRNGKey(0), (1, 8, 64, 64, 3)
@@ -235,6 +238,24 @@ def main():
         if fl:
             out[f"train_tflops_per_step_{tag1}"] = round(fl / 1e12, 3)
             out[f"train_mfu_{tag1}"] = round(
+                fl * sps / V5E_BF16_PEAK_FLOPS, 4)
+    print(json.dumps(out), flush=True)
+
+    # ---- leg 1b: same shape with --fast_extracts (extract-feature reuse:
+    # the extract forward gathers the full forward's (2B,T,spatial) feature
+    # rows instead of re-running the per-frame CNN on gathered pixels —
+    # train_step.py make_loss_fn docstring; measured 1.645x on chip,
+    # tools/exp_train_roofline.py, round 5) ------------------------------
+    tag1f = f"{tag1}_fast_extracts"
+    sps = measure(tag1f, B1, T1, masked=False,
+                  device_augment=False, remat=False,
+                  out_key=f"train_steps_per_sec_{tag1f}_bf16",
+                  fast_extracts=True)
+    if sps:
+        fl = flops_per_step(B1, T1, False, False, False, fast_extracts=True)
+        if fl:
+            out[f"train_tflops_per_step_{tag1f}"] = round(fl / 1e12, 3)
+            out[f"train_mfu_{tag1f}"] = round(
                 fl * sps / V5E_BF16_PEAK_FLOPS, 4)
     print(json.dumps(out), flush=True)
 

@@ -41,6 +41,10 @@ B = int(os.environ.get("EXP_B", 64))
 T = int(os.environ.get("EXP_T", 64))
 R = int(os.environ.get("EXP_R", 10))
 TIMINGS = int(os.environ.get("EXP_TIMINGS", 3))
+# comma-separated tag filter (e.g. EXP_ONLY=step_reuse,fwd_reuse) so a
+# degraded-tunnel window (compiles measured 90+ s each at T=512) doesn't
+# force re-measuring legs already on record
+ONLY = {t for t in os.environ.get("EXP_ONLY", "").split(",") if t}
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
@@ -100,22 +104,34 @@ def main():
             return None
 
     def time_ingraph(chained_fn, init_carry, tag):
+        """Time the chained dispatch; when the fn returns (state, acc) the
+        state is threaded forward between windows — the state arg is DONATED
+        (donate_argnums=(0,)), so reusing init_carry after the first call
+        would hand the TPU a deleted buffer (manifests as INVALID_ARGUMENT
+        at readback on axon, silently works on CPU where donation is a
+        no-op)."""
         t0 = time.perf_counter()
         carry = chained_fn(init_carry, batch, key)
-        acc = float(carry[-1] if isinstance(carry, tuple) else carry)
+        threaded = isinstance(carry, tuple)
+        acc = float(carry[-1] if threaded else carry)
         assert np.isfinite(acc), (tag, acc)
         out[f"{tag}_compile_s"] = round(time.perf_counter() - t0, 1)
         rates = []
+        state = carry[0] if threaded else init_carry
         for w in range(TIMINGS):
             t0 = time.perf_counter()
-            carry = chained_fn(init_carry, batch, jax.random.fold_in(key, w))
-            acc = float(carry[-1] if isinstance(carry, tuple) else carry)
+            carry = chained_fn(state, batch, jax.random.fold_in(key, w))
+            acc = float(carry[-1] if threaded else carry)
             rates.append(R / (time.perf_counter() - t0))
             assert np.isfinite(acc), (tag, acc)
+            if threaded:
+                state = carry[0]
         return float(np.median(rates))
 
     # ---- full-step legs --------------------------------------------------
     for tag, reuse in [("step_base", False), ("step_reuse", True)]:
+        if ONLY and tag not in ONLY:
+            continue
         raw_step = make_train_step(model, tx, "attention",
                                    reuse_extract_features=reuse)
 
@@ -146,6 +162,8 @@ def main():
 
     # ---- forward-only legs ----------------------------------------------
     for tag, reuse in [("fwd_base", False), ("fwd_reuse", True)]:
+        if ONLY and tag not in ONLY:
+            continue
         loss_fn = make_loss_fn(model, "attention",
                                reuse_extract_features=reuse)
 
